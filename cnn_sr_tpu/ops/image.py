@@ -1,0 +1,44 @@
+"""Host-side image decode/encode (the pipeline's disk edges).
+
+Equivalent of the reference's stb-based IO (UtilsOpenCL.cpp:88-123):
+
+* ``load_image``  ≙ opencl::utils::load_image — decode any PIL-supported
+  format, force RGBA (stbi_load with 4 requested channels);
+* ``write_image`` ≙ opencl::utils::write_image — PNG encode;
+* ``write_greyscale_image`` ≙ the float-array → min-max-normalized
+  greyscale PNG helper (UtilsOpenCL.cpp:97-123), used by weight
+  visualization and debugging.
+
+These run on host; device transfer happens implicitly when the arrays
+enter a jitted function (the only host↔device crossings in the pipeline,
+matching the reference's single upload/readback per image).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an image file to uint8 RGBA (H, W, 4)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGBA"), dtype=np.uint8)
+
+
+def write_image(path: str, rgb: np.ndarray) -> None:
+    """Encode a uint8 (H, W, 3) array as PNG/JPEG by extension."""
+    arr = np.asarray(rgb, dtype=np.uint8)
+    Image.fromarray(arr, mode="RGB").save(path)
+
+
+def write_greyscale_image(path: str, data: np.ndarray) -> None:
+    """Min-max-normalize a float array (H, W) to 0..255 greyscale and
+    write it (UtilsOpenCL.cpp:97-123)."""
+    arr = np.asarray(data, dtype=np.float32)
+    lo, hi = float(arr.min()), float(arr.max())
+    if hi > lo:
+        norm = (arr - lo) / (hi - lo)
+    else:
+        norm = np.full_like(arr, 0.5)
+    Image.fromarray((norm * 255.0).astype(np.uint8), mode="L").save(path)

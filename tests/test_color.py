@@ -1,0 +1,82 @@
+"""Color op tests — ExtractLumaTest / SwapLumaTest rebuilt (SURVEY.md §4)
+with numpy oracles instead of golden files, plus a deterministic golden
+vector for a synthetic color grid."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from cnn_sr_tpu.ops import extract_luma, subtract_mean, swap_luma
+
+import oracles
+
+
+def _color_grid(h=5, w=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+
+
+def test_extract_luma_normalized_and_raw():
+    img = _color_grid()
+    for normalize in (True, False):
+        want = oracles.extract_luma(img, normalize)
+        got = extract_luma(jnp.asarray(img), normalize=normalize)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_extract_luma_golden_values():
+    # hand-computed Rec.601 values (the ExtractLumaTest golden-vector idea)
+    img = np.zeros((1, 4, 4), dtype=np.uint8)
+    img = np.stack(
+        [
+            np.array([[255, 0, 0, 255]], dtype=np.uint8),      # red
+            np.array([[0, 255, 0, 255]], dtype=np.uint8),      # green
+            np.array([[0, 0, 255, 255]], dtype=np.uint8),      # blue
+            np.array([[255, 255, 255, 255]], dtype=np.uint8),  # white
+        ],
+        axis=1,
+    )[0][None]
+    got = np.asarray(extract_luma(jnp.asarray(img), normalize=False))[0]
+    np.testing.assert_allclose(
+        got, [0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0], rtol=1e-5
+    )
+
+
+def test_subtract_mean():
+    luma = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (6, 7)).astype(np.float32))
+    zero_mean, mean = subtract_mean(luma)
+    assert abs(float(jnp.mean(zero_mean))) < 1e-6
+    np.testing.assert_allclose(float(mean), float(jnp.mean(luma)), rtol=1e-6)
+
+
+def test_swap_luma_matches_oracle():
+    img = _color_grid(8, 9, seed=3)
+    # luma window smaller than the image → padding border passthrough
+    new_luma = np.random.default_rng(4).uniform(0, 1, (4, 5)).astype(np.float32)
+    want = oracles.swap_luma(img, new_luma)
+    got = np.asarray(swap_luma(jnp.asarray(img), jnp.asarray(new_luma)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_swap_luma_border_passthrough():
+    img = _color_grid(7, 7, seed=5)
+    new_luma = np.full((3, 3), 0.5, dtype=np.float32)
+    out = np.asarray(swap_luma(jnp.asarray(img), jnp.asarray(new_luma)))
+    pad = (7 - 3) // 2
+    # corners = original RGB
+    np.testing.assert_array_equal(out[0, 0], img[0, 0, :3])
+    np.testing.assert_array_equal(out[-1, -1], img[-1, -1, :3])
+    # inside differs from original (luma replaced) for at least some pixel
+    assert not np.array_equal(out[pad : pad + 3, pad : pad + 3], img[pad : pad + 3, pad : pad + 3, :3])
+
+
+def test_swap_luma_identity_luma_reconstructs_image():
+    """Swapping in the image's own (normalized) luma must approximately
+    reconstruct the original: YCbCr round-trip sanity."""
+    img = _color_grid(6, 6, seed=6)
+    own_luma = oracles.extract_luma(img, normalize=True)
+    out = np.asarray(swap_luma(jnp.asarray(img), jnp.asarray(own_luma)))
+    # the fixed conversion matrices are only approximately inverse (and we
+    # truncate), so allow a small per-channel tolerance
+    diff = out.astype(np.int32) - img[..., :3].astype(np.int32)
+    assert np.abs(diff).max() <= 3
