@@ -1,0 +1,68 @@
+"""High-level inference API: one fused jitted program per image shape.
+
+The reference's forward/upscale path (execute_forward, Main_cl.cpp:217-241;
+write_result_image, ConfigBasedDataPipeline.cpp:499-528) crosses the
+device boundary several times (image upload, 1-float mean readback, final
+readback). Here the whole pipeline — luma extract → mean subtract →
+N-layer conv → swap-luma recombine — is ONE ``jax.jit`` program: the
+uint8 image goes to HBM once and uint8 RGB comes back once; XLA fuses the
+elementwise color math into the conv prologue/epilogue.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import forward
+from .ops.color import extract_luma, subtract_mean, swap_luma, swap_rgb
+from .utils.config import Config
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _upscale_luma_jit(params, rgba, use_pallas: bool = False):
+    """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), luma-channel model."""
+    luma = extract_luma(rgba, normalize=True)
+    luma0, _ = subtract_mean(luma)
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+    else:
+        y = forward(params, luma0[None, ..., None])[0, ..., 0]
+    return swap_luma(rgba, y)
+
+
+@jax.jit
+def _upscale_rgb_jit(params, rgba):
+    """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), full-RGB model
+    (extended waifu2x-style variant)."""
+    rgb = rgba[..., :3].astype(jnp.float32) / 255.0
+    mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
+    y = forward(params, (rgb - mean)[None])[0]
+    return swap_rgb(rgba, y + mean)
+
+
+def upscale_image(
+    cfg: Config,
+    params,
+    rgba: np.ndarray,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """Run the network over a decoded uint8 RGBA image; returns uint8 RGB.
+
+    The luma model replaces the Y channel inside the valid-conv center
+    window and passes the border through (reference behavior); the RGB
+    model does the same with all three channels.
+    """
+    params_j = jax.tree.map(jnp.asarray, params)
+    img = jnp.asarray(rgba)
+    if cfg.channels == 1:
+        out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas)
+    else:
+        out = _upscale_rgb_jit(params_j, img)
+    return np.asarray(out)

@@ -1,0 +1,168 @@
+"""The ``cnn`` command-line application.
+
+CLI parity with the reference (Main_cl.cpp:40-115):
+
+* bare-word mode flags: ``train`` (training mode), ``dry`` (don't write
+  outputs), ``profile`` (print per-stage execution times);
+* valued options: ``-c/--config`` (required), ``-i/--in`` (image for
+  forward mode, samples directory for training), ``-o/--out`` (result
+  image or new parameters file), ``-e/--epochs``;
+* out path is required unless ``dry`` (Main_cl.cpp:66-69);
+* forward mode: decode → luma pipeline → net → swap-luma → encode
+  (execute_forward, Main_cl.cpp:217-241);
+* training mode: sample discovery, per-epoch shuffled 20% validation
+  split, NaN abort (exit 1), params written at the end
+  (Main_cl.cpp:115-210).
+
+Knobs the reference hardcodes are exposed as optional flags with the
+reference's values as defaults: ``--validation-percent`` (20),
+``--mini-batch-count`` (2), ``--validation-cadence`` (25), plus
+``--seed`` and ``--pallas`` (use the fused Pallas inference kernel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cnn",
+        description="TPU-native SRCNN super-resolution: train or upscale.",
+    )
+    p.add_argument(
+        "modes",
+        nargs="*",
+        choices=[[], "train", "dry", "profile"],
+        help="mode flags: 'train' = training mode, 'dry' = do not store "
+        "results, 'profile' = print per-stage execution times",
+    )
+    p.add_argument("-c", "--config", required=True, help="CNN configuration file")
+    p.add_argument(
+        "-i", "--in", dest="in_path", required=True,
+        help="image (forward) or samples directory (training)",
+    )
+    p.add_argument(
+        "-o", "--out", dest="out_path", default=None,
+        help="output path (result image or new parameters file)",
+    )
+    p.add_argument(
+        "-e", "--epochs", type=int, default=0, help="number of training epochs"
+    )
+    p.add_argument("--validation-percent", type=int, default=20)
+    p.add_argument("--mini-batch-count", type=int, default=2)
+    p.add_argument("--validation-cadence", type=int, default=25)
+    p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
+    p.add_argument(
+        "--pallas", action="store_true",
+        help="use the fused Pallas forward kernel for inference",
+    )
+    return p
+
+
+def run_forward(args, cfg, profiler) -> int:
+    from .api import upscale_image
+    from .ops.image import load_image, write_image
+    from .training.trainer import init_train_state
+
+    state = init_train_state(cfg, seed=args.seed)
+
+    with profiler.stage("load_image"):
+        rgba = load_image(args.in_path)
+    print(f"Input image: {args.in_path}, size: {rgba.shape[1]}x{rgba.shape[0]}")
+
+    out = profiler.timed(
+        "upscale (jit: luma+forward+swap)",
+        upscale_image, cfg, state.params, rgba, args.pallas,
+    )
+
+    if args.out_path:
+        with profiler.stage("write_image"):
+            write_image(args.out_path, out)
+        print(f"Output written: {args.out_path}")
+    return 0
+
+
+def run_training(args, cfg, profiler) -> int:
+    from .training.samples import find_training_samples, load_sample_set
+    from .training.trainer import init_train_state, train_loop
+    from .utils.params_io import save_parameters_file
+
+    print(
+        f"Training mode, epochs: {args.epochs}\n"
+        f"Training samples directory: {args.in_path}\n"
+        f"Output: {args.out_path or '-'}"
+    )
+    with profiler.stage("load_samples"):
+        pairs = find_training_samples(args.in_path)
+        samples = load_sample_set(pairs)
+    print(f"Loaded {samples.count} samples of {samples.width}x{samples.height}")
+
+    state = init_train_state(cfg, seed=args.seed)
+
+    t0 = time.perf_counter()
+    with profiler.stage("train_loop"):
+        error = train_loop(
+            cfg,
+            samples,
+            state,
+            args.epochs,
+            validation_percent=args.validation_percent,
+            mini_batch_count=args.mini_batch_count,
+            validation_cadence=args.validation_cadence,
+            seed=args.seed,
+        )
+    dt = time.perf_counter() - t0
+    if args.epochs > 0:
+        print(
+            f"Training time: {dt:.3f}s ({dt / args.epochs:.5f} s/epoch, "
+            f"{args.epochs / dt:.2f} epochs/s)"
+        )
+
+    if args.out_path and not error:
+        print(f"Saving parameters to: '{args.out_path}'")
+        save_parameters_file(args.out_path, state.params, epochs=state.epochs)
+    return 1 if error else 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    train = "train" in args.modes
+    dry = "dry" in args.modes
+    profile = "profile" in args.modes
+
+    if not dry and not args.out_path:
+        print("Either provide out path or do the dry run")
+        return 1
+    if dry:
+        args.out_path = None
+    if profile:
+        print("!!! RUNNING IN PROFILING MODE !!!")
+
+    from .profiling import StageProfiler
+    from .utils.config import read_config
+
+    profiler = StageProfiler(enabled=profile)
+
+    cfg = read_config(args.config)
+    print(cfg)
+
+    try:
+        if train:
+            rc = run_training(args, cfg, profiler)
+        else:
+            rc = run_forward(args, cfg, profiler)
+    finally:
+        profiler.report()
+    if rc == 0:
+        print("DONE")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

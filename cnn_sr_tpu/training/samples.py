@@ -1,0 +1,124 @@
+"""Training-sample discovery and loading.
+
+Equivalent of the reference's sample handling in Main_cl.cpp:
+
+* ``find_training_samples`` ≙ get_training_samples (Main_cl.cpp:267-301):
+  pair ``<base>_large.jpg`` / ``<base>_small.jpg`` files by basename,
+  warn on unpaired or non-sample files. (We additionally accept .jpeg
+  and .png extensions — a superset of the reference's .jpg-only rule.)
+* ``load_sample_set`` ≙ the per-sample prepare_image + subtract_mean
+  loop (Main_cl.cpp:132-149): decode both images, extract normalized
+  luma, mean-subtract the *input* (small) luma only, and stack the set
+  into contiguous (S, H, W, 1) device arrays — the TPU-native analog of
+  the reference's per-sample GPU buffers + copy_buffer batch packing
+  (ConfigBasedDataPipeline.cpp:150-161).
+* ``divide_samples`` ≙ divide_samples (Main_cl.cpp:244-261): shuffle ALL
+  samples each epoch, first ``validation_size`` indices become the
+  validation set (yes — membership is reshuffled every epoch, train/val
+  leakage by design; replicated for parity).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.color import extract_luma, subtract_mean
+from ..ops.image import load_image
+
+_SAMPLE_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def find_training_samples(dir_path: str) -> List[Tuple[str, str]]:
+    """Return (large_path, small_path) pairs found in ``dir_path``."""
+    by_base = {}
+    for name in sorted(os.listdir(dir_path)):
+        path = os.path.join(dir_path, name)
+        if not os.path.isfile(path):
+            continue
+        stem, ext = os.path.splitext(name)
+        if ext.lower() not in _SAMPLE_EXTS:
+            print(f"'{name}' is not a sample image. Skipping")
+            continue
+        if stem.endswith("_large"):
+            by_base.setdefault(stem[: -len("_large")], {})["large"] = path
+        elif stem.endswith("_small"):
+            by_base.setdefault(stem[: -len("_small")], {})["small"] = path
+        else:
+            print(f"'{name}' is not a sample image. Skipping")
+
+    pairs = []
+    for base in sorted(by_base):
+        node = by_base[base]
+        if "large" not in node or "small" not in node:
+            print(f"Only 1 image for pair with name '{base}'. Skipping sample")
+            continue
+        pairs.append((node["large"], node["small"]))
+    return pairs
+
+
+@dataclass
+class SampleSet:
+    """A loaded, batched training set: zero-mean input lumas and raw
+    ground-truth lumas, both (S, H, W, 1) float32."""
+
+    input_luma: np.ndarray     # mean-subtracted, normalized small-image luma
+    expected_luma: np.ndarray  # normalized large-image luma (NOT mean-subtracted)
+    width: int
+    height: int
+
+    @property
+    def count(self) -> int:
+        return self.input_luma.shape[0]
+
+    @property
+    def pixels_per_sample(self) -> int:
+        return self.width * self.height
+
+
+def load_sample_set(pairs: List[Tuple[str, str]]) -> SampleSet:
+    """Decode and preprocess all sample pairs into stacked arrays.
+
+    All samples must share one size (the reference sizes its shared
+    batch buffers from samples[0] — Main_cl.cpp:152-154)."""
+    if not pairs:
+        raise ValueError("no training samples found")
+    inputs, expecteds = [], []
+    shape = None
+    for large_path, small_path in pairs:
+        large = load_image(large_path)
+        small = load_image(small_path)
+        if large.shape[:2] != small.shape[:2]:
+            raise ValueError(
+                f"sample pair size mismatch: {large_path} {large.shape[:2]} vs "
+                f"{small_path} {small.shape[:2]}"
+            )
+        if shape is None:
+            shape = large.shape[:2]
+        elif large.shape[:2] != shape:
+            raise ValueError(
+                f"all samples must share one size; got {large.shape[:2]} vs {shape}"
+            )
+        in_luma = np.asarray(extract_luma(small, normalize=True))
+        in_luma, _ = subtract_mean(in_luma)  # input only (Main_cl.cpp:141)
+        exp_luma = np.asarray(extract_luma(large, normalize=True))
+        inputs.append(np.asarray(in_luma))
+        expecteds.append(exp_luma)
+    h, w = shape
+    return SampleSet(
+        input_luma=np.stack(inputs)[..., None].astype(np.float32),
+        expected_luma=np.stack(expecteds)[..., None].astype(np.float32),
+        width=w,
+        height=h,
+    )
+
+
+def divide_samples(
+    count: int, validation_size: int, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-epoch shuffle + split. Returns (train_idx, validation_idx)."""
+    perm = rng.permutation(count)
+    return perm[validation_size:], perm[:validation_size]

@@ -1,0 +1,120 @@
+"""End-to-end CLI tests — forward and training through the real entry
+point (the reference's golden-image + smoke coverage, SURVEY.md §4),
+run in-process against `cnn_sr_tpu.cli.main`."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cnn_sr_tpu.cli import main
+
+CFG = {
+    "n1": 4, "n2": 2, "f1": 3, "f2": 1, "f3": 3,
+    "momentum": 0.9, "weight_decay_parameter": 0.0001,
+    "learning_rates": [0.01, 0.01, 0.001],
+    "parameters_distribution_1": {
+        "mean_w": 0.0, "mean_b": 0.0, "std_deviation_w": 0.05, "std_deviation_b": 0.0},
+    "parameters_distribution_2": {
+        "mean_w": 0.0, "mean_b": 0.0, "std_deviation_w": 0.05, "std_deviation_b": 0.0},
+    "parameters_distribution_3": {
+        "mean_w": 0.0, "mean_b": 0.0, "std_deviation_w": 0.05, "std_deviation_b": 0.0},
+}
+
+
+@pytest.fixture
+def cfg_path(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(CFG))
+    return str(p)
+
+
+@pytest.fixture
+def image_path(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 28, 3), dtype=np.uint8)
+    p = tmp_path / "in.png"
+    Image.fromarray(img, "RGB").save(str(p))
+    return str(p)
+
+
+def _make_samples(tmp_path, n=5, size=14):
+    d = tmp_path / "samples"
+    os.makedirs(str(d), exist_ok=True)
+    rng = np.random.default_rng(1)
+    for i in range(n):
+        large = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        small = ((large.astype(np.float32) + np.roll(large, 1, 0)) / 2).astype(np.uint8)
+        Image.fromarray(large, "RGB").save(str(d / f"s{i}_large.png"))
+        Image.fromarray(small, "RGB").save(str(d / f"s{i}_small.png"))
+    return str(d)
+
+
+def test_forward_mode_writes_image(cfg_path, image_path, tmp_path, capsys):
+    out = str(tmp_path / "out.png")
+    rc = main(["-c", cfg_path, "-i", image_path, "-o", out, "--seed", "0"])
+    assert rc == 0
+    assert os.path.exists(out)
+    result = np.asarray(Image.open(out))
+    assert result.shape == (24, 28, 3)
+    # border passthrough: corners equal the input image
+    orig = np.asarray(Image.open(image_path))
+    np.testing.assert_array_equal(result[0, 0], orig[0, 0])
+    assert "DONE" in capsys.readouterr().out
+
+
+def test_forward_dry_mode_writes_nothing(cfg_path, image_path, tmp_path):
+    rc = main(["dry", "-c", cfg_path, "-i", image_path, "--seed", "0"])
+    assert rc == 0
+    assert not list(tmp_path.glob("*.png")) == []  # only the input image exists
+
+
+def test_out_required_unless_dry(cfg_path, image_path, capsys):
+    rc = main(["-c", cfg_path, "-i", image_path])
+    assert rc == 1
+    assert "dry run" in capsys.readouterr().out
+
+
+def test_train_mode_end_to_end(cfg_path, tmp_path, capsys):
+    samples = _make_samples(tmp_path)
+    out = str(tmp_path / "params_out.json")
+    rc = main(
+        ["train", "-c", cfg_path, "-i", samples, "-o", out, "-e", "3", "--seed", "0"]
+    )
+    assert rc == 0
+    data = json.loads(open(out).read())
+    assert data["epochs"] == 3
+    assert set(data) == {"epochs", "layer1", "layer2", "layer3"}
+    assert len(data["layer1"]["weights"]) == 3 * 3 * 1 * 4
+    out_text = capsys.readouterr().out
+    assert "mean validation error" in out_text
+
+
+def test_train_dry_profile(cfg_path, tmp_path, capsys):
+    samples = _make_samples(tmp_path)
+    rc = main(["train", "dry", "profile", "-c", cfg_path, "-i", samples, "-e", "2"])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    assert "PROFILING MODE" in out_text
+    assert "stage profile" in out_text
+    assert not os.path.exists(str(tmp_path / "params_out.json"))
+
+
+def test_forward_then_reload_params_roundtrip(cfg_path, tmp_path, image_path):
+    """Train → save params → forward with the trained params via
+    config.parameters_file (the reference's resume path)."""
+    samples = _make_samples(tmp_path)
+    params_out = str(tmp_path / "trained.json")
+    assert main(["train", "-c", cfg_path, "-i", samples, "-o", params_out,
+                 "-e", "2", "--seed", "0"]) == 0
+
+    cfg2 = dict(CFG)
+    cfg2["parameters_file"] = params_out
+    cfg2_path = str(tmp_path / "cfg2.json")
+    with open(cfg2_path, "w") as fh:
+        json.dump(cfg2, fh)
+    out_img = str(tmp_path / "up.png")
+    assert main(["-c", cfg2_path, "-i", image_path, "-o", out_img]) == 0
+    assert os.path.exists(out_img)

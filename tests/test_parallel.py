@@ -1,0 +1,117 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training
+equivalence and halo-exchange spatial sharding correctness — coverage the
+single-GPU reference never had (SURVEY.md §4 'implication for TPU build')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_sr_tpu.parallel.mesh import make_mesh
+from cnn_sr_tpu.parallel.spatial import sharded_forward
+from cnn_sr_tpu.models import forward
+from cnn_sr_tpu.training.trainer import init_train_state, make_train_step
+from cnn_sr_tpu.utils.config import parse_config
+
+CFG = {
+    "n1": 4, "n2": 3, "f1": 3, "f2": 1, "f3": 3,
+    "momentum": 0.9, "weight_decay_parameter": 0.0001,
+    "learning_rates": [0.01, 0.01, 0.001],
+    **{
+        f"parameters_distribution_{i}": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        }
+        for i in (1, 2, 3)
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def _params(seed=0):
+    cfg = parse_config(CFG)
+    state = init_train_state(cfg, seed=seed)
+    return cfg, jax.tree.map(jnp.asarray, state.params), jax.tree.map(
+        jnp.asarray, state.prev_delta
+    )
+
+
+def test_mesh_construction(devices):
+    mesh = make_mesh(n_data=4, n_spatial=2, devices=devices)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_spatial=1, devices=devices)
+
+
+def test_data_parallel_step_matches_single_device(devices):
+    cfg, params, prev = _params()
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.standard_normal((8, 12, 12, 1)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(0, 1, (8, 12, 12, 1)).astype(np.float32))
+
+    p_single, d_single = make_train_step(cfg)(params, prev, inputs, gts)
+
+    mesh = make_mesh(n_data=8, devices=devices)
+    cfg2, params2, prev2 = _params()
+    p_mesh, d_mesh = make_train_step(cfg2, mesh=mesh)(params2, prev2, inputs, gts)
+
+    for a, b in zip(p_single, p_mesh):
+        np.testing.assert_allclose(
+            np.asarray(a["w"]), np.asarray(b["w"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["b"]), np.asarray(b["b"]), rtol=1e-5, atol=1e-6
+        )
+    for a, b in zip(d_single, d_mesh):
+        np.testing.assert_allclose(
+            np.asarray(a["w"]), np.asarray(b["w"]), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("n_spatial", [2, 4])
+def test_spatial_sharded_forward_matches_unsharded(devices, n_spatial):
+    _, params, _ = _params(seed=1)
+    rng = np.random.default_rng(2)
+    # shrink = 2+0+2 = 4; H divisible by n_spatial, shard height ≥ shrink
+    h, w = 8 * n_spatial, 20
+    x = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+
+    mesh = make_mesh(n_data=1, n_spatial=n_spatial, devices=devices)
+    y_sharded = sharded_forward(mesh, params, x)
+    y_ref = forward(params, x)
+    assert y_sharded.shape == y_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_spatial_sharding_validates_shapes(devices):
+    _, params, _ = _params()
+    mesh = make_mesh(n_data=1, n_spatial=4, devices=devices)
+    with pytest.raises(ValueError):
+        sharded_forward(mesh, params, jnp.zeros((1, 30, 20, 1)))  # 30 % 4 != 0
+    with pytest.raises(ValueError):
+        sharded_forward(mesh, params, jnp.zeros((1, 8, 20, 1)))  # shard < shrink
+
+
+def test_dryrun_multichip_entrypoint(devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles(devices):
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    y = jax.jit(fn)(*args)
+    jax.block_until_ready(y)
+    assert y.shape[0] == 1 and y.shape[-1] == 1
