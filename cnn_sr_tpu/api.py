@@ -42,9 +42,12 @@ def _upscale_rgb_jit(params, rgba):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), full-RGB model
     (extended waifu2x-style variant)."""
     rgb = rgba[..., :3].astype(jnp.float32) / 255.0
+    # per-channel mean subtraction on the *input* only; like the luma
+    # path, the net is trained against raw 0..1 targets and outputs
+    # absolute intensities (samples.load_sample_set uses the same rule)
     mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
     y = forward(params, (rgb - mean)[None])[0]
-    return swap_rgb(rgba, y + mean)
+    return swap_rgb(rgba, y)
 
 
 def upscale_image(

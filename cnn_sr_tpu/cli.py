@@ -35,13 +35,6 @@ def build_parser() -> argparse.ArgumentParser:
         prog="cnn",
         description="TPU-native SRCNN super-resolution: train or upscale.",
     )
-    p.add_argument(
-        "modes",
-        nargs="*",
-        choices=[[], "train", "dry", "profile"],
-        help="mode flags: 'train' = training mode, 'dry' = do not store "
-        "results, 'profile' = print per-stage execution times",
-    )
     p.add_argument("-c", "--config", required=True, help="CNN configuration file")
     p.add_argument(
         "-i", "--in", dest="in_path", required=True,
@@ -100,7 +93,7 @@ def run_training(args, cfg, profiler) -> int:
     )
     with profiler.stage("load_samples"):
         pairs = find_training_samples(args.in_path)
-        samples = load_sample_set(pairs)
+        samples = load_sample_set(pairs, channels=cfg.channels)
     print(f"Loaded {samples.count} samples of {samples.width}x{samples.height}")
 
     state = init_train_state(cfg, seed=args.seed)
@@ -130,11 +123,43 @@ def run_training(args, cfg, profiler) -> int:
     return 1 if error else 0
 
 
+_MODE_WORDS = {"train", "dry", "profile"}
+# options that consume a value: their following token is never a mode word
+_VALUED_OPTS = {
+    "-c", "--config", "-i", "--in", "-o", "--out", "-e", "--epochs",
+    "--validation-percent", "--mini-batch-count", "--validation-cadence",
+    "--seed",
+}
+
+
+def _split_modes(argv: List[str]):
+    """Extract bare-word mode flags (train/dry/profile) from anywhere in
+    the argument list, like the reference's Argparse positional flags
+    (pch.cpp:183-376) — e.g. ``cnn train dry -c cfg -i dir profile``."""
+    modes, rest = set(), []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in _VALUED_OPTS and i + 1 < len(argv):
+            rest.extend(argv[i : i + 2])
+            i += 2
+        elif tok in _MODE_WORDS:
+            modes.add(tok)
+            i += 1
+        else:
+            rest.append(tok)
+            i += 1
+    return modes, rest
+
+
 def main(argv: Optional[List[str]] = None) -> int:
-    args = build_parser().parse_args(argv)
-    train = "train" in args.modes
-    dry = "dry" in args.modes
-    profile = "profile" in args.modes
+    if argv is None:
+        argv = sys.argv[1:]
+    modes, rest = _split_modes(list(argv))
+    args = build_parser().parse_args(rest)
+    train = "train" in modes
+    dry = "dry" in modes
+    profile = "profile" in modes
 
     if not dry and not args.out_path:
         print("Either provide out path or do the dry run")

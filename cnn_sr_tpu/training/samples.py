@@ -79,11 +79,15 @@ class SampleSet:
         return self.width * self.height
 
 
-def load_sample_set(pairs: List[Tuple[str, str]]) -> SampleSet:
+def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSet:
     """Decode and preprocess all sample pairs into stacked arrays.
 
-    All samples must share one size (the reference sizes its shared
-    batch buffers from samples[0] — Main_cl.cpp:152-154)."""
+    ``channels=1`` (reference behavior): normalized Rec.601 luma, input
+    mean-subtracted. ``channels=3`` (extended RGB models): normalized
+    RGB, input mean-subtracted per channel; targets stay raw 0..1 in
+    both cases. All samples must share one size (the reference sizes its
+    shared batch buffers from samples[0] — Main_cl.cpp:152-154).
+    """
     if not pairs:
         raise ValueError("no training samples found")
     inputs, expecteds = [], []
@@ -102,15 +106,21 @@ def load_sample_set(pairs: List[Tuple[str, str]]) -> SampleSet:
             raise ValueError(
                 f"all samples must share one size; got {large.shape[:2]} vs {shape}"
             )
-        in_luma = np.asarray(extract_luma(small, normalize=True))
-        in_luma, _ = subtract_mean(in_luma)  # input only (Main_cl.cpp:141)
-        exp_luma = np.asarray(extract_luma(large, normalize=True))
-        inputs.append(np.asarray(in_luma))
-        expecteds.append(exp_luma)
+        if channels == 1:
+            inp = np.asarray(extract_luma(small, normalize=True))[..., None]
+            inp, _ = subtract_mean(inp)  # input only (Main_cl.cpp:141)
+            inp = np.asarray(inp)
+            exp = np.asarray(extract_luma(large, normalize=True))[..., None]
+        else:
+            inp = small[..., :3].astype(np.float32) / 255.0
+            inp = inp - inp.mean(axis=(0, 1), keepdims=True)
+            exp = large[..., :3].astype(np.float32) / 255.0
+        inputs.append(inp)
+        expecteds.append(exp)
     h, w = shape
     return SampleSet(
-        input_luma=np.stack(inputs)[..., None].astype(np.float32),
-        expected_luma=np.stack(expecteds)[..., None].astype(np.float32),
+        input_luma=np.stack(inputs).astype(np.float32),
+        expected_luma=np.stack(expecteds).astype(np.float32),
         width=w,
         height=h,
     )

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Generate paired training samples from a directory of images.
+
+Equivalent of the reference's generate_training_samples.py:14-74 — this
+script IS the degradation model the network learns to invert:
+
+* for each input image: take a random ``out_size``² crop →
+  ``sample_N_large.jpg`` (the ground truth);
+* downscale the crop by ``--degrade-factor`` and upscale back to
+  ``out_size`` with a high-quality resampler (Lanczos, PIL's successor
+  to the deprecated ANTIALIAS) → ``sample_N_small.jpg`` (the degraded
+  input). The net learns small-luma → large-luma.
+
+Usage:
+    python tools/generate_training_samples.py -i raw_dir -o samples_dir -s 128 -d 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+from PIL import Image
+
+
+def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng):
+    with Image.open(in_path) as im:
+        if im.width < out_size or im.height < out_size:
+            raise ValueError(
+                f"Image '{os.path.basename(in_path)}' is smaller than the "
+                f"requested out-size {out_size}"
+            )
+        x = rng.randint(0, im.width - out_size)
+        y = rng.randint(0, im.height - out_size)
+        large = im.convert("RGB").crop((x, y, x + out_size, y + out_size))
+
+    large_path = os.path.join(out_dir, f"sample_{img_id}_large.jpg")
+    small_path = os.path.join(out_dir, f"sample_{img_id}_small.jpg")
+    large.save(large_path, "JPEG")
+
+    small_size = max(1, int(out_size / degrade_factor))
+    small = large.resize((small_size, small_size), Image.LANCZOS)
+    small = small.resize((out_size, out_size), Image.LANCZOS)
+    small.save(small_path, "JPEG")
+    return large_path, small_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Create paired *_large/*_small training samples by "
+        "cropping and degrade-resampling input images."
+    )
+    p.add_argument("--in-dir", "-i", required=True, help="input directory")
+    p.add_argument("--out-dir", "-o", required=True, help="output directory")
+    p.add_argument("--out-size", "-s", required=True, type=int,
+                   help="size of output (square) samples")
+    p.add_argument("--degrade-factor", "-d", type=float, default=2,
+                   help="downscale factor used to produce the degraded image")
+    p.add_argument("--seed", type=int, default=None, help="crop RNG seed")
+    args = p.parse_args(argv)
+
+    rng = random.Random(args.seed)
+    files = sorted(
+        f for f in os.listdir(args.in_dir)
+        if os.path.isfile(os.path.join(args.in_dir, f))
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    created = []
+    for img_id, name in enumerate(files):
+        try:
+            created.append(
+                process_image(
+                    os.path.join(args.in_dir, name), args.out_dir,
+                    img_id, args.out_size, args.degrade_factor, rng,
+                )
+            )
+        except (OSError, ValueError) as e:
+            print(f"cannot create train samples for '{name}': {e}")
+
+    if not created:
+        print("No files were created")
+        return 1
+    print(f"created {len(created)} sample pairs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
