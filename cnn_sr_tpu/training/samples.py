@@ -90,6 +90,12 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSe
     """
     if not pairs:
         raise ValueError("no training samples found")
+
+    if channels == 1:
+        native_set = _load_sample_set_native(pairs)
+        if native_set is not None:
+            return native_set
+
     inputs, expecteds = [], []
     shape = None
     for large_path, small_path in pairs:
@@ -121,6 +127,35 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSe
     return SampleSet(
         input_luma=np.stack(inputs).astype(np.float32),
         expected_luma=np.stack(expecteds).astype(np.float32),
+        width=w,
+        height=h,
+    )
+
+
+def _load_sample_set_native(pairs: List[Tuple[str, str]]) -> Optional[SampleSet]:
+    """Fast path: the native pthread-pooled batch loader (decode + luma +
+    mean-subtract in C++ — cnn_sr_tpu.native). Returns None when the
+    native library is unavailable or the set is inconsistent, letting the
+    caller fall back to the PIL path."""
+    try:
+        from .. import native
+    except ImportError:  # pragma: no cover
+        return None
+    if not native.available():
+        return None
+    try:
+        w, h = native.image_size(pairs[0][0])
+        larges = [p[0] for p in pairs]
+        smalls = [p[1] for p in pairs]
+        # input (small): normalized + per-image mean-subtract; target
+        # (large): normalized only (Main_cl.cpp:132-149)
+        inp = native.load_sample_batch(smalls, w, h, normalize=True, subtract_mean=True)
+        exp = native.load_sample_batch(larges, w, h, normalize=True, subtract_mean=False)
+    except IOError:
+        return None
+    return SampleSet(
+        input_luma=inp[..., None],
+        expected_luma=exp[..., None],
         width=w,
         height=h,
     )
