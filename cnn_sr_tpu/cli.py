@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--pallas", action="store_true",
         help="use the fused Pallas forward kernel for inference",
     )
+    p.add_argument(
+        "--scale", type=float, default=1.0,
+        help="upscale the input on-device by this factor before the net "
+        "(the reference requires pre-upscaled input; this fuses that step)",
+    )
     return p
 
 
@@ -68,6 +73,17 @@ def run_forward(args, cfg, profiler) -> int:
     with profiler.stage("load_image"):
         rgba = load_image(args.in_path)
     print(f"Input image: {args.in_path}, size: {rgba.shape[1]}x{rgba.shape[0]}")
+
+    if args.scale != 1.0:
+        import numpy as _np
+
+        from .ops.resize import upscale_rgba
+
+        rgba = profiler.timed(
+            "upscale_input (bicubic)",
+            lambda: _np.asarray(upscale_rgba(rgba, args.scale)),
+        )
+        print(f"Pre-scaled by {args.scale}x to {rgba.shape[1]}x{rgba.shape[0]}")
 
     out = profiler.timed(
         "upscale (jit: luma+forward+swap)",
@@ -128,7 +144,7 @@ _MODE_WORDS = {"train", "dry", "profile"}
 _VALUED_OPTS = {
     "-c", "--config", "-i", "--in", "-o", "--out", "-e", "--epochs",
     "--validation-percent", "--mini-batch-count", "--validation-cadence",
-    "--seed",
+    "--seed", "--scale",
 }
 
 

@@ -120,13 +120,18 @@ def _fused_forward_single(params_flat, x, tile_h: int, tile_w: int,
     out_h, out_w = h - shrink, w_dim - shrink
 
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
-    win_h, win_w = tile_h + shrink, tile_w + shrink
+    # DMA slices of HBM memrefs must be (8, 128)-aligned in offset AND
+    # size: tile_h/tile_w are multiples of (8, 128) (enforced by the
+    # caller), and the copied window is the tile + halo rounded up
+    win_h = -(-(tile_h + shrink) // 8) * 8
+    win_w = -(-(tile_w + shrink) // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
     xp = jnp.pad(x, ((0, max(0, pad_h)), (0, max(0, pad_w))))
 
-    # per-layer spatial extents inside one tile
-    hs, ws = [win_h], [win_w]
+    # per-layer spatial extents inside one tile (the compute region is the
+    # top-left (tile + halo) corner of the aligned DMA window)
+    hs, ws = [tile_h + shrink], [tile_w + shrink]
     for s in shrinks:
         hs.append(hs[-1] - s)
         ws.append(ws[-1] - s)
@@ -188,7 +193,7 @@ def _fused_forward_single(params_flat, x, tile_h: int, tile_w: int,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers),
         out_specs=pl.BlockSpec(
             (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -209,10 +214,14 @@ def fused_forward(params, x, tile_h: int = 40, tile_w: int = 128):
     """Fused multi-layer forward: (N, H, W, 1) → (N, H−s, W−s, 1).
 
     Drop-in for ``models.forward`` on luma models with a single output
-    channel. Falls back to the XLA path for other configurations or
-    images smaller than one tile halo.
+    channel. ``tile_h``/``tile_w`` are rounded to the (8, 128) DMA
+    alignment the hardware requires. Falls back to the XLA path for
+    other configurations or images smaller than one tile halo.
     """
     from ..models import forward as _xla_forward
+
+    tile_h = max(8, tile_h // 8 * 8)
+    tile_w = max(128, tile_w // 128 * 128)
 
     shrink = sum(l["w"].shape[0] - 1 for l in params)
     if (

@@ -1,0 +1,69 @@
+"""Pallas fused-forward kernel tests (interpret mode on CPU): must match
+the XLA path exactly across tile geometries, including odd image sizes
+and the 9-5-5 flagship shape class."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cnn_sr_tpu.models import forward
+from cnn_sr_tpu.ops.pallas_fused import fused_forward
+
+
+def _params(rng, specs):
+    return [
+        {
+            "w": jnp.asarray(rng.standard_normal((f, f, k, n)).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.05),
+        }
+        for (f, k, n) in specs
+    ]
+
+
+@pytest.mark.parametrize("h,w", [(60, 150), (97, 131)])
+def test_fused_matches_xla_3layer(h, w):
+    rng = np.random.default_rng(0)
+    params = _params(rng, [(9, 1, 8), (5, 8, 4), (5, 4, 1)])
+    x = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_matches_xla_4layer():
+    rng = np.random.default_rng(1)
+    params = _params(rng, [(5, 1, 6), (3, 6, 6), (3, 6, 4), (3, 4, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 40, 140, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_batch_dim():
+    rng = np.random.default_rng(2)
+    params = _params(rng, [(3, 1, 4), (3, 4, 1)])
+    x = jnp.asarray(rng.standard_normal((2, 40, 135, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fallback_paths():
+    rng = np.random.default_rng(3)
+    # RGB input (C=3) → falls back to XLA
+    params = _params(rng, [(3, 3, 4), (3, 4, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 30, 30, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_forward(params, x)), np.asarray(forward(params, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # tiny image → falls back
+    params = _params(rng, [(9, 1, 4), (5, 4, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 18, 18, 1)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_forward(params, x)), np.asarray(forward(params, x)),
+        rtol=1e-5, atol=1e-5,
+    )
