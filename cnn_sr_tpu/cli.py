@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation-percent", type=int, default=20)
     p.add_argument("--mini-batch-count", type=int, default=2)
     p.add_argument("--validation-cadence", type=int, default=25)
+    p.add_argument(
+        "--epochs-per-dispatch", type=int, default=8,
+        help="fuse this many epochs into one device dispatch (lax.scan); "
+        "semantically identical to per-epoch dispatch",
+    )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
     p.add_argument(
         "--pallas", action="store_true",
@@ -124,6 +129,7 @@ def run_training(args, cfg, profiler) -> int:
             validation_percent=args.validation_percent,
             mini_batch_count=args.mini_batch_count,
             validation_cadence=args.validation_cadence,
+            epochs_per_dispatch=args.epochs_per_dispatch,
             seed=args.seed,
         )
     dt = time.perf_counter() - t0
@@ -144,7 +150,7 @@ _MODE_WORDS = {"train", "dry", "profile"}
 _VALUED_OPTS = {
     "-c", "--config", "-i", "--in", "-o", "--out", "-e", "--epochs",
     "--validation-percent", "--mini-batch-count", "--validation-cadence",
-    "--seed", "--scale",
+    "--seed", "--scale", "--epochs-per-dispatch",
 }
 
 

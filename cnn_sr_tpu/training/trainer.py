@@ -109,6 +109,48 @@ def make_train_step(
     return sharded_step
 
 
+def make_multi_epoch_step(cfg: Config, num_chunks: int = 1) -> Callable:
+    """Build a jitted multi-epoch step: ``lax.scan`` over K epochs in ONE
+    dispatch — (params, prev, inputs, gts, train_idx[K,T], val_idx[K,V],
+    do_val[K]) → (params', prev', val_errs[K]).
+
+    Semantically identical to K iterations of the single-epoch loop (the
+    per-epoch shuffle/split happens on host and arrives as index
+    arrays); on TPU it amortizes host→device dispatch latency across K
+    epochs and keeps parameters on-device throughout. ``val_errs[k]`` is
+    the post-update validation squared error when ``do_val[k]`` else -1.
+    """
+    lrs = tuple(cfg.learning_rates)
+    momentum, wd = cfg.momentum, cfg.weight_decay
+
+    def step(params, prev_delta, inputs, gts, train_idx, val_idx, do_val):
+        def body(carry, xs):
+            params, prev = carry
+            t_idx, v_idx, dv = xs
+            x = jnp.take(inputs, t_idx, axis=0)
+            t = jnp.take(gts, t_idx, axis=0)
+            grads = _grads(params, x, t, num_chunks)
+            params, prev = update_parameters(
+                params, prev, grads, lrs, momentum, wd, t_idx.shape[0]
+            )
+            err = jax.lax.cond(
+                dv,
+                lambda p: luma_mse_metrics(
+                    p, jnp.take(inputs, v_idx, axis=0), jnp.take(gts, v_idx, axis=0)
+                ),
+                lambda p: jnp.float32(-1.0),
+                params,
+            )
+            return (params, prev), err
+
+        (params, prev_delta), errs = jax.lax.scan(
+            body, (params, prev_delta), (train_idx, val_idx, do_val)
+        )
+        return params, prev_delta, errs
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_validation_fn(mesh=None) -> Callable:
     """Jitted validation: total squared error over the set
     (execute_batch(false, ...), ConfigBasedDataPipeline.cpp:178-187)."""
@@ -133,6 +175,7 @@ def train_loop(
     validation_percent: int = 20,   # hardcoded in the reference (Main_cl.cpp:92)
     mini_batch_count: int = 1,      # memory chunking; 2 in the reference (Main_cl.cpp:93)
     validation_cadence: int = 25,   # Main_cl.cpp:174
+    epochs_per_dispatch: int = 1,   # >1: lax.scan K epochs per device dispatch
     mesh=None,
     seed: Optional[int] = None,
     log: Callable[[str], None] = print,
@@ -160,14 +203,60 @@ def train_loop(
                 num_chunks = c
                 break
 
-    step = make_train_step(cfg, mesh=mesh, num_chunks=num_chunks)
-    validate = make_validation_fn(mesh=mesh)
-
     inputs = jnp.asarray(samples.input_luma)
     gts = jnp.asarray(samples.expected_luma)
 
     params = jax.tree.map(jnp.asarray, state.params)
     prev = jax.tree.map(jnp.asarray, state.prev_delta)
+
+    def _is_val_epoch(e):
+        return validation_size > 0 and ((e % validation_cadence) == 0 or e == epochs - 1)
+
+    if epochs_per_dispatch > 1 and mesh is None and epochs > 1:
+        step_k = make_multi_epoch_step(cfg, num_chunks=num_chunks)
+        error = False
+        epoch_id = 0
+        while epoch_id < epochs and not error:
+            k = min(epochs_per_dispatch, epochs - epoch_id)
+            t_rows, v_rows, dv = [], [], []
+            for i in range(k):
+                t_idx, v_idx = divide_samples(s, validation_size, rng)
+                t_rows.append(t_idx)
+                v_rows.append(v_idx)
+                dv.append(_is_val_epoch(epoch_id + i))
+            params, prev, errs = step_k(
+                params, prev, inputs, gts,
+                jnp.asarray(np.stack(t_rows)),
+                jnp.asarray(np.stack(v_rows)) if validation_size > 0
+                else jnp.zeros((k, 0), jnp.int32),
+                jnp.asarray(dv),
+            )
+            errs = np.asarray(errs)
+            state.epochs += k
+            for i in range(k):
+                val_err = float(errs[i]) if dv[i] else None
+                if val_err is not None:
+                    if not math.isfinite(val_err):
+                        log(f"Error: squared error is NAN/Inf, after "
+                            f"{epoch_id + i}/{epochs} epochs")
+                        error = True
+                        break
+                    mean_err = val_err / validation_size
+                    log(f"[{epoch_id + i}] mean validation error: {mean_err} "
+                        f"({mean_err / samples.pixels_per_sample} per px)")
+                if on_epoch is not None:
+                    on_epoch(epoch_id + i, val_err)
+            epoch_id += k
+        state.params = [
+            {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in params
+        ]
+        state.prev_delta = [
+            {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in prev
+        ]
+        return error
+
+    step = make_train_step(cfg, mesh=mesh, num_chunks=num_chunks)
+    validate = make_validation_fn(mesh=mesh)
 
     error = False
     for epoch_id in range(epochs):
