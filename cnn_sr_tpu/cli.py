@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="upscale the input on-device by this factor before the net "
         "(the reference requires pre-upscaled input; this fuses that step)",
     )
+    p.add_argument(
+        "--trace-dir", default=None,
+        help="capture a jax.profiler trace into this directory "
+        "(op-level timeline for TensorBoard/Perfetto)",
+    )
     return p
 
 
@@ -191,21 +196,38 @@ def main(argv: Optional[List[str]] = None) -> int:
     if profile:
         print("!!! RUNNING IN PROFILING MODE !!!")
 
-    from .profiling import StageProfiler
-    from .utils.config import read_config
+    from .profiling import StageProfiler, print_device_memory
+    from .utils.config import ConfigError, read_config
 
-    profiler = StageProfiler(enabled=profile)
+    profiler = StageProfiler(enabled=profile, profile_dir=args.trace_dir)
 
-    cfg = read_config(args.config)
+    try:
+        cfg = read_config(args.config)
+    except FileNotFoundError:
+        print(f"Config file not found: '{args.config}'")
+        return 1
+    except ConfigError as e:
+        print(f"Invalid config: {e}")
+        return 1
     print(cfg)
 
     try:
+        profiler.start_trace()
         if train:
             rc = run_training(args, cfg, profiler)
         else:
             rc = run_forward(args, cfg, profiler)
+    except FileNotFoundError as e:
+        print(f"File not found: {e}")
+        return 1
+    except ValueError as e:
+        print(f"Error: {e}")
+        return 1
     finally:
+        profiler.stop_trace()
         profiler.report()
+        if profile:
+            print_device_memory()
     if rc == 0:
         print("DONE")
     return rc

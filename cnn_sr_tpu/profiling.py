@@ -69,7 +69,7 @@ class StageProfiler:
         self.counts[name] += 1
         return out
 
-    def report(self, log=print):
+    def report(self, log=print, wall_clock: Optional[float] = None):
         """Ranked per-stage share, like profile.py's kernel breakdown."""
         if not self.enabled or not self.totals:
             return
@@ -80,3 +80,27 @@ class StageProfiler:
                 f"{t:8.4f}s ({t * 100 / total:5.2f}%) x{self.counts[name]:<5d} - {name}"
             )
         log(f"Total measured time: {total:.4f}s")
+
+
+def print_device_memory(log=print):
+    """Per-device memory accounting — the TPU analog of the reference's
+    Context::print_app_memory_usage (Context.cpp:132-149)."""
+    import jax
+
+    for d in jax.local_devices():
+        stats = None
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            pass
+        if not stats:
+            log(f"[{d}] memory stats unavailable")
+            continue
+        in_use = stats.get("bytes_in_use", 0)
+        peak = stats.get("peak_bytes_in_use", 0)
+        limit = stats.get("bytes_limit", 0)
+        log(
+            f"[{d}] device memory: {in_use / 1e6:.1f} MB in use, "
+            f"peak {peak / 1e6:.1f} MB"
+            + (f", limit {limit / 1e6:.1f} MB" if limit else "")
+        )
