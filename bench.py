@@ -1,12 +1,22 @@
 """Benchmark: single-image upscaling throughput on the flagship config.
 
 Measures the BASELINE.json headline: MPix/s/chip running SRCNN 9-5-5
-(n1=64, n2=32) luma upscaling on a 2x-upscaled 1080p frame (1920x1080),
-end-to-end on device (uint8 RGBA in HBM → luma pipeline → 3 convs →
-swap-luma → uint8 RGB in HBM). Steady-state: median over timed runs
-after warmup. Prints ONE JSON line:
+(n1=64, n2=32) luma upscaling on a 2x-upscaled-1080p-sized frame
+(1920x1080), end-to-end on device (uint8 RGBA in HBM → luma pipeline →
+3 convs → swap-luma → uint8 RGB in HBM).
+
+Methodology note: this TPU's dispatch path pipelines executions, so
+naive per-call `block_until_ready` walls undercount badly. The benchmark
+therefore runs N data-DEPENDENT pipeline iterations inside one jitted
+``lax.scan`` (each iteration's input embeds a pixel of the previous
+output) and divides the blocked wall time by N.
+
+Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "MPix/s", "vs_baseline": N}
 vs_baseline is against the 50 MPix/s/chip target (BASELINE.md).
+
+Env knobs: BENCH_PALLAS=0 forces the plain XLA conv path (default 1 =
+the fused hybrid XLA-im2col + Pallas path); BENCH_ITERS (default 10).
 """
 
 import json
@@ -24,10 +34,11 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
-    from cnn_sr_tpu.api import _upscale_luma_jit
+    from cnn_sr_tpu.ops.color import extract_luma, subtract_mean, swap_luma
     from cnn_sr_tpu.utils.params_io import random_parameters
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     h, w = 1080, 1920
 
     cfg = _flagship()
@@ -39,30 +50,49 @@ def main():
         jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
     )
 
-    def run():
-        return _upscale_luma_jit(params, rgba, use_pallas=use_pallas)
+    def pipeline(img, use_pallas):
+        luma = extract_luma(img, normalize=True)
+        luma0, _ = subtract_mean(luma)
+        if use_pallas:
+            from cnn_sr_tpu.ops.pallas_fused import fused_forward
 
-    # try the pallas path; fall back to XLA if it fails to compile/run
+            y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+        else:
+            from cnn_sr_tpu.models import forward
+
+            y = forward(params, luma0[None, ..., None])[0, ..., 0]
+        return swap_luma(img, y)
+
+    def make_chained(use_pallas):
+        @jax.jit
+        def chained(img):
+            def body(carry, _):
+                out = pipeline(carry, use_pallas)
+                # thread one output pixel back into the input: a real data
+                # dependency so pipelined dispatch can't hide compute
+                nxt = carry.at[0, 0, 0].set(out[0, 0, 0])
+                return nxt, ()
+
+            final, _ = jax.lax.scan(body, img, None, length=iters)
+            return final
+
+        return chained
+
     try:
-        out = jax.block_until_ready(run())
+        fn = make_chained(use_pallas)
+        jax.block_until_ready(fn(rgba))
     except Exception as e:
         if not use_pallas:
             raise
-        print(f"# pallas path failed ({type(e).__name__}: {e}); XLA fallback",
+        print(f"# pallas path failed ({type(e).__name__}); XLA fallback",
               file=sys.stderr)
         use_pallas = False
-        out = jax.block_until_ready(run())
-    assert out.shape == (h, w, 3) and out.dtype == jnp.uint8
+        fn = make_chained(False)
+        jax.block_until_ready(fn(rgba))
 
-    # warmup + steady state
-    for _ in range(3):
-        jax.block_until_ready(run())
-    times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(rgba))
+    dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (h * w) / dt / 1e6
     print(json.dumps({

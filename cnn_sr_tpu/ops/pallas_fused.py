@@ -1,37 +1,39 @@
-"""Fused Pallas forward kernel: the whole conv stack over VMEM tiles.
+"""Fused inference path: XLA im2col first layer + Pallas all-VMEM tail.
 
 TPU-native replacement for the reference's per-layer "uber kernel"
-dispatches (layer_uber_kernel.cl; ConfigBasedDataPipeline.cpp:200-241).
-Instead of materializing every layer's activations in HBM (the
-reference's per-layer GPU buffers — ~0.5 GB for 1080p SRCNN 9-5-5), the
-image is cut into spatial tiles and each tile runs ALL layers
-back-to-back inside VMEM; HBM traffic is exactly input-window reads plus
-final-output writes.
+dispatches (layer_uber_kernel.cl; ConfigBasedDataPipeline.cpp:200-241),
+shaped by measurements on v5e (1080p SRCNN 9-5-5):
 
-Per-layer compute strategy (shaped by Mosaic's constraints: DMA slices
-need (8, 128)-aligned offsets/sizes, 2D data cannot be cheaply moved
-into the lane dimension, unaligned slices must be canonicalized through
-a scratch ref, and fully unrolled taps blow up compile time — hence
-``fori_loop`` over the kernel rows with ref accumulators):
+* XLA's native conv lowering collapses on SRCNN's channel shapes
+  (37 ms for 1→64 f9, 32 ms for 32→1 f5 at DEFAULT precision);
+* a pure-XLA im2col/matmul formulation (models/fast_forward.py) is
+  2.4x faster but bound by patch materialization in HBM
+  (~20 GB/frame for the K=320 middle layer);
+* an all-Pallas kernel hits a wall on the FIRST layer: single-channel
+  2D data cannot be cheaply moved into the lane dimension, forcing a
+  VPU path whose accumulator round-trips dominate (~230 GB of VMEM
+  traffic/frame).
 
-* **first layer (C_in = 1)**: f² broadcast multiply-accumulates on the
-  VPU — each shifted window is canonicalized through a 2D scratch, then
-  expanded along lanes and FMA'd against the (f², n₁) weight rows;
-* **middle layers** (k → n): per-dy im2col on the MXU — f column-shifted
-  channel blocks of a row band are stored side by side into a
-  (oh, ow, f·k) patch scratch, lane-preservingly reshaped to (M, f·k),
-  and contracted as (M, f·k) @ (f·k, n) matmuls accumulated over dy.
-  For SRCNN 9-5-5's layer 2 (K = 320) this is where ~87% of the FLOPs
-  run;
-* **last layer (n_out = 1)**: the same patch build, but an MXU matmul
-  with N = 1 would waste 127/128 lanes, so patches are multiplied by the
-  broadcast weight row and lane-reduced on the VPU.
+Hence the hybrid: **layer 1 runs as one XLA im2col matmul** — its
+patches are only f₁² single-channel columns (≈0.7 GB/frame, cheap) and
+K=81 feeds the MXU well — while **layers 2..L run in one Pallas kernel**
+over spatial tiles with every patch and activation resident in VMEM:
 
-Weights are pre-reshaped on host to ``(f², n)`` / ``(f, f·k, n)`` /
-``(f, f·k)`` from the reference's HWIO ``(f, f, k, n)`` layout
-(layer_uber_kernel.cl:3-12); the public ``fused_forward`` is a drop-in
-for ``models.forward`` on single-channel (luma) models and falls back to
-the XLA path otherwise.
+* per grid step, one aligned DMA pulls a ``(tile + halo)`` window of the
+  layer-1 activation (lane dim = channels, so window offsets only need
+  sublane (8) alignment on W and none on H);
+* middle layers: per-dy im2col — f column-shifted channel blocks stored
+  side by side into a patch scratch (canonicalizing the layout), then
+  ``(M, f·k) @ (f·k, n)`` MXU matmuls accumulated over dy via
+  ``fori_loop`` (compile-size friendly);
+* the last layer (n_out = 1) would waste 127/128 MXU lanes, so patches
+  are multiplied by the broadcast weight row and lane-reduced on the
+  VPU.
+
+Weight layout is the reference's HWIO ``(f, f, k, n)``
+(layer_uber_kernel.cl:3-12). ``fused_forward`` is a drop-in for
+``models.forward`` on single-output-channel models with a single- or
+few-channel first layer; anything else falls back to the XLA conv path.
 """
 
 from __future__ import annotations
@@ -44,101 +46,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..models.fast_forward import _conv_first
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_h", "tile_w", "interpret")
-)
-def _fused_forward_single(wbs, x, tile_h: int, tile_w: int,
-                          interpret: bool = False):
-    """x: (H, W) float32 single plane → (H−s, W−s) float32.
 
-    ``wbs``: flat list [w1(f1², n1), b1, w2(f2, f2·k2, n2), b2, ...,
-    wL(fL, fL·kL), bL] of pre-reshaped weights.
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False):
+    """Run layers 2..L over a (H, W, k) activation → (H−s, W−s) float32.
+
+    ``wbs``: flat [w2(f2, f2·k2, n2), b2, ..., wL(fL, fL·kL), bL]
+    pre-reshaped weights (middle: (f, f·k, n); last: (f, f·k)).
     """
     n_layers = len(wbs) // 2
     fs, ks, ns = [], [], []
     for li in range(n_layers):
         w = wbs[2 * li]
-        if li == 0:
-            f = int(round(w.shape[0] ** 0.5))
-            fs.append(f); ks.append(1); ns.append(w.shape[1])
-        elif li == n_layers - 1:
-            f = w.shape[0]
+        f = w.shape[0]
+        if li == n_layers - 1:
             fs.append(f); ks.append(w.shape[1] // f); ns.append(1)
         else:
-            f = w.shape[0]
             fs.append(f); ks.append(w.shape[1] // f); ns.append(w.shape[2])
     shrinks = [f - 1 for f in fs]
     shrink = sum(shrinks)
 
-    h, w_dim = x.shape
+    h, w_dim, c_in = a.shape
     out_h, out_w = h - shrink, w_dim - shrink
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
-    # DMA slices of HBM memrefs need (8, 128)-aligned offsets AND sizes:
-    # tile_h/tile_w are multiples of (8, 128); the window is tile + halo
-    # rounded up
-    win_h = -(-(tile_h + shrink) // 8) * 8
-    win_w = -(-(tile_w + shrink) // 128) * 128
+    # 3D (H, W, C) arrays tile the last two dims → the DMA window needs
+    # W-dim (sublane) 8-alignment and a 128-multiple lane (channel) size;
+    # H is untiled (any offset). Channel padding is physically free (HBM
+    # tiles already pad lanes to 128) — the kernel slices the real C back.
+    win_h = tile_h + shrink
+    win_w = -(-(tile_w + shrink) // 8) * 8
+    c_pad = -(-c_in // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
-    xp = jnp.pad(x, ((0, max(0, pad_h)), (0, max(0, pad_w))))
+    ap = jnp.pad(
+        a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
+    )
 
-    # per-layer spatial extents inside one tile (compute region = top-left
-    # tile + halo corner of the aligned DMA window)
-    hs, ws = [tile_h + shrink], [tile_w + shrink]
+    hs, ws = [win_h], [tile_w + shrink]
     for s in shrinks:
         hs.append(hs[-1] - s)
         ws.append(ws[-1] - s)
 
-    def kernel(x_hbm, *refs):
+    def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
         out_ref = refs[2 * n_layers]
         scratch = refs[2 * n_layers + 1 :]
-        x_vmem, sem, s2d_ref = scratch[0], scratch[1], scratch[2]
-        act_refs = scratch[3 : 3 + (n_layers - 1)]
-        p_refs = scratch[3 + (n_layers - 1) : 3 + (n_layers - 1) + (n_layers - 1)]
+        a_vmem, sem = scratch[0], scratch[1]
+        act_refs = scratch[2 : 2 + (n_layers - 1)]
+        p_refs = scratch[2 + (n_layers - 1) :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tile_h, win_h), pl.ds(j * tile_w, win_w)],
-            x_vmem,
+            a_hbm.at[pl.ds(i * tile_h, win_h), pl.ds(j * tile_w, win_w), :],
+            a_vmem,
             sem,
         )
         dma.start()
         dma.wait()
 
-        # ---- layer 1: C_in=1, VPU broadcast MACs (fori over dy) ----
-        # Dynamic sublane offsets on 2D VMEM need multiple-of-8 proofs, so
-        # instead of slicing at row dy we keep a ROLLING copy of the window
-        # (one static roll-by-1 per fori step) and always read row 0.
-        f1, n1 = fs[0], ns[0]
-        oh1, ow1 = hs[1], ws[1]
-        w1_ref, b1_ref = wrefs[0], wrefs[1]
-        a1 = act_refs[0]
-        a1[...] = jnp.zeros((oh1, ow1, n1), jnp.float32)
-        xroll_ref = scratch[-1]
-        xroll_ref[...] = x_vmem[...]
-
-        def l1_body(dy, _):
-            for dx in range(f1):
-                s2d_ref[...] = xroll_ref[0:oh1, dx : dx + ow1]
-                wv = w1_ref[pl.ds(dy * f1 + dx, 1), :]  # (1, n1)
-                a1[...] = a1[...] + s2d_ref[...][:, :, None] * wv
-            # roll rows up by one (shift must be non-negative: size-1 ≡ -1)
-            xroll_ref[...] = pltpu.roll(xroll_ref[...], win_h - 1, axis=0)
-            return 0
-
-        jax.lax.fori_loop(0, f1, l1_body, 0)
-        a1[...] = jnp.maximum(a1[...] + b1_ref[...], 0.0)
-
         # ---- middle layers: per-dy im2col MXU matmuls ----
-        for li in range(1, n_layers - 1):
+        for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
-            src = act_refs[li - 1]
+            src = a_vmem if li == 0 else act_refs[li - 1]
             dst = act_refs[li]
-            p_ref = p_refs[li - 1]
+            p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
             dst[...] = jnp.zeros((oh, ow, n), jnp.float32)
 
@@ -146,7 +121,7 @@ def _fused_forward_single(wbs, x, tile_h: int, tile_w: int,
                          src=src, dst=dst, p_ref=p_ref, w_ref=w_ref):
                 for dx in range(f):
                     p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                        pl.ds(dy, oh), dx : dx + ow, :
+                        pl.ds(dy, oh), dx : dx + ow, 0:k
                     ]
                 y = jnp.dot(
                     p_ref[...].reshape(oh * ow, f * k),
@@ -162,15 +137,15 @@ def _fused_forward_single(wbs, x, tile_h: int, tile_w: int,
         # ---- last layer: n_out=1, patches + lane reduce on VPU ----
         fL, kL = fs[-1], ks[-1]
         ohL, owL = hs[-1], ws[-1]
-        src = act_refs[-1]
-        p_ref = p_refs[-1]
+        src = a_vmem if n_layers == 1 else act_refs[n_layers - 2]
+        p_ref = p_refs[n_layers - 1]
         wL_ref, bL_ref = wrefs[-2], wrefs[-1]
         out_ref[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
         def last_body(dy, _):
             for dx in range(fL):
                 p_ref[:, :, dx * kL : (dx + 1) * kL] = src[
-                    pl.ds(dy, ohL), dx : dx + owL, :
+                    pl.ds(dy, ohL), dx : dx + owL, 0:kL
                 ]
             wrow = wL_ref[pl.ds(dy, 1), :]  # (1, f·k)
             out_ref[...] = out_ref[...] + jnp.sum(p_ref[...] * wrow, axis=-1)
@@ -180,21 +155,17 @@ def _fused_forward_single(wbs, x, tile_h: int, tile_w: int,
         out_ref[...] = out_ref[...] + bL_ref[0]
 
     scratch_shapes = [
-        pltpu.VMEM((win_h, win_w), jnp.float32),   # input window
+        pltpu.VMEM((win_h, win_w, c_pad), jnp.float32),  # input window
         pltpu.SemaphoreType.DMA(()),
-        pltpu.VMEM((hs[1], ws[1]), jnp.float32),   # conv1 slice canonicalizer
     ]
-    for li in range(n_layers - 1):  # activations of layers 1..L-1
+    for li in range(n_layers - 1):  # activations of middle layers
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
-    for li in range(1, n_layers):   # patch buffers for layers 2..L
+    for li in range(n_layers):      # patch buffers for every layer
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], fs[li] * ks[li]), jnp.float32)
         )
-    # rolling copy of the input window for layer 1 (must stay LAST —
-    # the kernel addresses it as scratch[-1])
-    scratch_shapes.append(pltpu.VMEM((win_h, win_w), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -212,21 +183,19 @@ def _fused_forward_single(wbs, x, tile_h: int, tile_w: int,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, *wbs)
+    )(ap, *wbs)
     return out[:out_h, :out_w]
 
 
-def _prepare_weights(params) -> List[jnp.ndarray]:
-    """Host-side reshape from HWIO (f, f, k, n) to the kernel's layouts:
-    layer 1 → (f², n1); middle → (f, f·k, n); last → (f, f·k)."""
+def _prepare_tail_weights(params) -> List[jnp.ndarray]:
+    """Reshape layers 2..L from HWIO (f, f, k, n): middle → (f, f·k, n);
+    last → (f, f·k)."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if li == 0:
-            wbs.append(w.reshape(f * f, n))
-        elif li == n_layers - 1:
+        if li == n_layers - 1:
             wbs.append(w.reshape(f, f * k))
         else:
             wbs.append(w.reshape(f, f * k, n))
@@ -234,34 +203,40 @@ def _prepare_weights(params) -> List[jnp.ndarray]:
     return wbs
 
 
-def fused_forward(params, x, tile_h: int = 32, tile_w: int = 128):
-    """Fused multi-layer forward: (N, H, W, 1) → (N, H−s, W−s, 1).
+def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256):
+    """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, 1).
 
-    Drop-in for ``models.forward`` on luma models with a single output
-    channel and ≥3 layers. ``tile_h``/``tile_w`` are rounded to the
-    (8, 128) DMA alignment. Falls back to the XLA path otherwise.
+    Layer 1 = XLA im2col matmul; layers 2..L = one Pallas kernel with
+    VMEM-resident patches/activations. Drop-in for ``models.forward`` on
+    models with a single output channel, ≥3 layers, a few-channel first
+    layer and ≥8-channel middle layers; falls back to XLA otherwise.
+    ``tile_h``/``tile_w`` are rounded to multiples of 8.
     """
     from ..models import forward as _xla_forward
 
     tile_h = max(8, tile_h // 8 * 8)
-    tile_w = max(128, tile_w // 128 * 128)
+    tile_w = max(8, tile_w // 8 * 8)
 
     shrink = sum(l["w"].shape[0] - 1 for l in params)
+    mids_ok = all(l["w"].shape[2] % 8 == 0 for l in params[1:])
     if (
-        x.shape[-1] != 1
-        or params[0]["w"].shape[2] != 1
-        or params[-1]["w"].shape[3] != 1
+        params[-1]["w"].shape[3] != 1
         or len(params) < 3
+        or params[0]["w"].shape[2] > 4
+        or not mids_ok
         or x.shape[1] <= shrink + 8
         or x.shape[2] <= shrink + 8
     ):
         return _xla_forward(params, x)
 
-    wbs = _prepare_weights(params)
+    w1 = jnp.asarray(params[0]["w"], jnp.float32)
+    b1 = jnp.asarray(params[0]["b"], jnp.float32)
+    wbs = _prepare_tail_weights(params[1:])
     interpret = jax.default_backend() == "cpu"  # pallas needs interpret mode off-TPU
+
+    a1 = _conv_first(x, w1, b1, relu=True, dtype=jnp.float32)
     outs = [
-        _fused_forward_single(wbs, x[i, ..., 0], tile_h, tile_w,
-                              interpret=interpret)
+        _fused_tail_single(wbs, a1[i], tile_h, tile_w, interpret=interpret)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)[..., None]
