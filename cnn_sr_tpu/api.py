@@ -69,3 +69,36 @@ def upscale_image(
     else:
         out = _upscale_rgb_jit(params_j, img)
     return np.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False):
+    """uint8 RGBA (S, H, W, 4) → uint8 RGB (S, H, W, 3) — batched luma
+    pipeline in one program (the batch axis also shards over a "data"
+    mesh axis under jit, giving multi-chip batched inference for free)."""
+    lumas = jax.vmap(lambda im: extract_luma(im, normalize=True))(rgbas)
+    means = jnp.mean(lumas, axis=(1, 2), keepdims=True)
+    lumas0 = lumas - means
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        ys = fused_forward(params, lumas0[..., None])[..., 0]
+    else:
+        ys = forward(params, lumas0[..., None])[..., 0]
+    return jax.vmap(swap_luma)(rgbas, ys)
+
+
+def upscale_batch(
+    cfg: Config,
+    params,
+    rgbas: np.ndarray,
+    use_pallas: bool = False,
+) -> np.ndarray:
+    """Batched upscaling of same-sized images (S, H, W, 4) → (S, H, W, 3)."""
+    params_j = jax.tree.map(jnp.asarray, params)
+    imgs = jnp.asarray(rgbas)
+    if cfg.channels == 1:
+        out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas)
+    else:
+        out = jnp.stack([_upscale_rgb_jit(params_j, img) for img in imgs])
+    return np.asarray(out)

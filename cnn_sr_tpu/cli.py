@@ -74,11 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_forward(args, cfg, profiler) -> int:
+    import os
+
     from .api import upscale_image
     from .ops.image import load_image, write_image
     from .training.trainer import init_train_state
 
     state = init_train_state(cfg, seed=args.seed)
+
+    if os.path.isdir(args.in_path):
+        return _run_forward_dir(args, cfg, state, profiler)
 
     with profiler.stage("load_image"):
         rgba = load_image(args.in_path)
@@ -104,6 +109,47 @@ def run_forward(args, cfg, profiler) -> int:
         with profiler.stage("write_image"):
             write_image(args.out_path, out)
         print(f"Output written: {args.out_path}")
+    return 0
+
+
+def _run_forward_dir(args, cfg, state, profiler) -> int:
+    """Forward mode over a directory: upscale every image (an extension —
+    the reference is single-image only). Same-shaped images share one
+    compiled program."""
+    import os
+
+    import numpy as np
+
+    from .api import upscale_image
+    from .ops.image import load_image, write_image
+
+    files = sorted(
+        f for f in os.listdir(args.in_path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not files:
+        print(f"no images found in '{args.in_path}'")
+        return 1
+    if args.out_path:
+        os.makedirs(args.out_path, exist_ok=True)
+
+    for name in files:
+        with profiler.stage("load_image"):
+            rgba = load_image(os.path.join(args.in_path, name))
+        if args.scale != 1.0:
+            from .ops.resize import upscale_rgba
+
+            rgba = np.asarray(upscale_rgba(rgba, args.scale))
+        out = profiler.timed("upscale", upscale_image, cfg, state.params,
+                             rgba, args.pallas)
+        if args.out_path:
+            stem = os.path.splitext(name)[0]
+            dst = os.path.join(args.out_path, f"{stem}_sr.png")
+            with profiler.stage("write_image"):
+                write_image(dst, out)
+            print(f"{name} -> {dst}")
+        else:
+            print(f"{name}: upscaled {out.shape[1]}x{out.shape[0]} (dry)")
     return 0
 
 

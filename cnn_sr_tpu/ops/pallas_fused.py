@@ -9,31 +9,35 @@ shaped by measurements on v5e (1080p SRCNN 9-5-5):
 * a pure-XLA im2col/matmul formulation (models/fast_forward.py) is
   2.4x faster but bound by patch materialization in HBM
   (~20 GB/frame for the K=320 middle layer);
-* an all-Pallas kernel hits a wall on the FIRST layer: single-channel
-  2D data cannot be cheaply moved into the lane dimension, forcing a
-  VPU path whose accumulator round-trips dominate (~230 GB of VMEM
-  traffic/frame).
+* an all-Pallas kernel hits a wall on the FIRST layer (single-channel 2D
+  data cannot be moved into the lane dimension, forcing a VPU path whose
+  accumulator round-trips dominate), and f32 in-kernel matmuls run at
+  multi-pass-emulation speed (measured 52 ms/frame).
 
-Hence the hybrid: **layer 1 runs as one XLA im2col matmul** — its
-patches are only f₁² single-channel columns (≈0.7 GB/frame, cheap) and
-K=81 feeds the MXU well — while **layers 2..L run in one Pallas kernel**
-over spatial tiles with every patch and activation resident in VMEM:
+Hence the hybrid, bf16-streaming design: **layer 1 runs as one XLA
+im2col matmul** (patches are f₁² single-channel columns, K=81 feeds the
+MXU well) and **layers 2..L run in one Pallas kernel** over spatial
+tiles with every patch and activation resident in VMEM, streamed as
+bfloat16 and accumulated in float32:
 
 * per grid step, one aligned DMA pulls a ``(tile + halo)`` window of the
-  layer-1 activation (lane dim = channels, so window offsets only need
-  sublane (8) alignment on W and none on H);
+  layer-1 activation (lane dim = channels padded to 128 — physically
+  free, HBM tiles pad lanes anyway; the kernel slices the real C back);
 * middle layers: per-dy im2col — f column-shifted channel blocks stored
-  side by side into a patch scratch (canonicalizing the layout), then
-  ``(M, f·k) @ (f·k, n)`` MXU matmuls accumulated over dy via
-  ``fori_loop`` (compile-size friendly);
+  into a bf16 patch scratch, then ``(M, f·k) @ (f·k, n)`` bf16 MXU
+  matmuls accumulated into a f32 scratch via ``fori_loop``;
 * the last layer (n_out = 1) would waste 127/128 MXU lanes, so patches
   are multiplied by the broadcast weight row and lane-reduced on the
-  VPU.
+  VPU in f32.
+
+bf16 streaming error on 0..1 luma is ~1e-3 RMS — a <0.01 dB effect on
+PSNR-vs-reference (contract: 0.05 dB), gated by tests; pass
+``dtype=jnp.float32`` for exact parity at ~3x the cost.
 
 Weight layout is the reference's HWIO ``(f, f, k, n)``
 (layer_uber_kernel.cl:3-12). ``fused_forward`` is a drop-in for
-``models.forward`` on single-output-channel models with a single- or
-few-channel first layer; anything else falls back to the XLA conv path.
+``models.forward`` on single-output-channel models with a few-channel
+first layer; anything else falls back to the XLA conv path.
 """
 
 from __future__ import annotations
@@ -49,12 +53,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.fast_forward import _conv_first
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
-def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "interpret", "dtype")
+)
+def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
+                       interpret: bool = False, dtype=jnp.bfloat16):
     """Run layers 2..L over a (H, W, k) activation → (H−s, W−s) float32.
 
     ``wbs``: flat [w2(f2, f2·k2, n2), b2, ..., wL(fL, fL·kL), bL]
-    pre-reshaped weights (middle: (f, f·k, n); last: (f, f·k)).
+    pre-reshaped weights in ``dtype`` (biases f32).
     """
     n_layers = len(wbs) // 2
     fs, ks, ns = [], [], []
@@ -62,7 +69,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
         w = wbs[2 * li]
         f = w.shape[0]
         if li == n_layers - 1:
-            fs.append(f); ks.append(w.shape[1] // f); ns.append(1)
+            fs.append(f); ks.append(w.shape[2] // f); ns.append(1)
         else:
             fs.append(f); ks.append(w.shape[1] // f); ns.append(w.shape[2])
     shrinks = [f - 1 for f in fs]
@@ -73,8 +80,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
     # 3D (H, W, C) arrays tile the last two dims → the DMA window needs
     # W-dim (sublane) 8-alignment and a 128-multiple lane (channel) size;
-    # H is untiled (any offset). Channel padding is physically free (HBM
-    # tiles already pad lanes to 128) — the kernel slices the real C back.
+    # H is untiled (any offset). Channel padding is physically free.
     win_h = tile_h + shrink
     win_w = -(-(tile_w + shrink) // 8) * 8
     c_pad = -(-c_in // 128) * 128
@@ -82,7 +88,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
     ap = jnp.pad(
         a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
-    )
+    ).astype(jnp.float32)
 
     hs, ws = [win_h], [tile_w + shrink]
     for s in shrinks:
@@ -95,7 +101,8 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
         scratch = refs[2 * n_layers + 1 :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
-        p_refs = scratch[2 + (n_layers - 1) :]
+        acc_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
+        p_refs = scratch[2 + 2 * (n_layers - 1) :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -107,34 +114,34 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
         dma.start()
         dma.wait()
 
-        # ---- middle layers: per-dy im2col MXU matmuls ----
+        # ---- middle layers: per-dy im2col bf16 MXU matmuls, f32 acc ----
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem if li == 0 else act_refs[li - 1]
-            dst = act_refs[li]
+            acc = acc_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
-            dst[...] = jnp.zeros((oh, ow, n), jnp.float32)
+            acc[...] = jnp.zeros((oh, ow, n), jnp.float32)
 
             def mid_body(dy, _, f=f, k=k, n=n, oh=oh, ow=ow,
-                         src=src, dst=dst, p_ref=p_ref, w_ref=w_ref):
+                         src=src, acc=acc, p_ref=p_ref, w_ref=w_ref):
                 for dx in range(f):
                     p_ref[:, :, dx * k : (dx + 1) * k] = src[
                         pl.ds(dy, oh), dx : dx + ow, 0:k
-                    ]
+                    ].astype(dtype)
                 y = jnp.dot(
                     p_ref[...].reshape(oh * ow, f * k),
                     w_ref[dy],
                     preferred_element_type=jnp.float32,
                 )
-                dst[...] = dst[...] + y.reshape(oh, ow, n)
+                acc[...] = acc[...] + y.reshape(oh, ow, n)
                 return 0
 
             jax.lax.fori_loop(0, f, mid_body, 0)
-            dst[...] = jnp.maximum(dst[...] + b_ref[...], 0.0)
+            act_refs[li][...] = jnp.maximum(acc[...] + b_ref[...], 0.0)
 
-        # ---- last layer: n_out=1, patches + lane reduce on VPU ----
+        # ---- last layer: n_out=1, patches + f32 lane reduce on VPU ----
         fL, kL = fs[-1], ks[-1]
         ohL, owL = hs[-1], ws[-1]
         src = a_vmem if n_layers == 1 else act_refs[n_layers - 2]
@@ -146,9 +153,12 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
             for dx in range(fL):
                 p_ref[:, :, dx * kL : (dx + 1) * kL] = src[
                     pl.ds(dy, ohL), dx : dx + owL, 0:kL
-                ]
-            wrow = wL_ref[pl.ds(dy, 1), :]  # (1, f·k)
-            out_ref[...] = out_ref[...] + jnp.sum(p_ref[...] * wrow, axis=-1)
+                ].astype(dtype)
+            wrow = wL_ref[dy]  # (1, f·k) — wL is (f, 1, f·k): dynamic
+            # indexing on the untiled leading dim (a 2D bf16 sublane index
+            # would need an 8-multiple proof Mosaic can't make)
+            prod = p_ref[...].astype(jnp.float32) * wrow.astype(jnp.float32)
+            out_ref[...] = out_ref[...] + jnp.sum(prod, axis=-1)
             return 0
 
         jax.lax.fori_loop(0, fL, last_body, 0)
@@ -158,13 +168,19 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
         pltpu.VMEM((win_h, win_w, c_pad), jnp.float32),  # input window
         pltpu.SemaphoreType.DMA(()),
     ]
-    for li in range(n_layers - 1):  # activations of middle layers
+    for li in range(n_layers - 1):  # f32 activations of middle layers
+        # (activations stay f32: Mosaic cannot dynamically slice the H dim
+        # of packed bf16 refs; only patches/weights stream in `dtype`)
+        scratch_shapes.append(
+            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
+        )
+    for li in range(n_layers - 1):  # f32 accumulators of middle layers
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
     for li in range(n_layers):      # patch buffers for every layer
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], fs[li] * ks[li]), jnp.float32)
+            pltpu.VMEM((hs[li + 1], ws[li + 1], fs[li] * ks[li]), dtype)
         )
 
     out = pl.pallas_call(
@@ -187,30 +203,31 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int, interpret: bool = False
     return out[:out_h, :out_w]
 
 
-def _prepare_tail_weights(params) -> List[jnp.ndarray]:
+def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → (f, f·k, n);
-    last → (f, f·k)."""
+    last → (f, f·k). Weights in ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
         if li == n_layers - 1:
-            wbs.append(w.reshape(f, f * k))
+            wbs.append(w.reshape(f, 1, f * k).astype(dtype))
         else:
-            wbs.append(w.reshape(f, f * k, n))
+            wbs.append(w.reshape(f, f * k, n).astype(dtype))
         wbs.append(jnp.asarray(l["b"], jnp.float32))
     return wbs
 
 
-def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256):
+def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256,
+                  dtype=jnp.bfloat16):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, 1).
 
     Layer 1 = XLA im2col matmul; layers 2..L = one Pallas kernel with
-    VMEM-resident patches/activations. Drop-in for ``models.forward`` on
+    VMEM-resident patches/activations, streamed in ``dtype`` (default
+    bf16) with f32 accumulation. Drop-in for ``models.forward`` on
     models with a single output channel, ≥3 layers, a few-channel first
-    layer and ≥8-channel middle layers; falls back to XLA otherwise.
-    ``tile_h``/``tile_w`` are rounded to multiples of 8.
+    layer and 8-multiple middle channels; falls back to XLA otherwise.
     """
     from ..models import forward as _xla_forward
 
@@ -231,12 +248,13 @@ def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256):
 
     w1 = jnp.asarray(params[0]["w"], jnp.float32)
     b1 = jnp.asarray(params[0]["b"], jnp.float32)
-    wbs = _prepare_tail_weights(params[1:])
+    wbs = _prepare_tail_weights(params[1:], dtype)
     interpret = jax.default_backend() == "cpu"  # pallas needs interpret mode off-TPU
 
-    a1 = _conv_first(x, w1, b1, relu=True, dtype=jnp.float32)
+    a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
     outs = [
-        _fused_tail_single(wbs, a1[i], tile_h, tile_w, interpret=interpret)
+        _fused_tail_single(wbs, a1[i], tile_h, tile_w,
+                           interpret=interpret, dtype=dtype)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)[..., None]

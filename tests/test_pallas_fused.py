@@ -25,29 +25,32 @@ def _params(rng, specs):
 @pytest.mark.parametrize("h,w", [(60, 150), (97, 131)])
 def test_fused_matches_xla_3layer(h, w):
     rng = np.random.default_rng(0)
-    params = _params(rng, [(9, 1, 8), (5, 8, 4), (5, 4, 1)])
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
     x = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    # bf16 streaming path: ~1e-3 scale error acceptable
+    yb = fused_forward(params, x, tile_h=16, tile_w=128)
+    assert float(jnp.abs(yb - y_ref).max()) < 0.05
 
 
 def test_fused_matches_xla_4layer():
     rng = np.random.default_rng(1)
-    params = _params(rng, [(5, 1, 6), (3, 6, 6), (3, 6, 4), (3, 4, 1)])
+    params = _params(rng, [(5, 1, 8), (3, 8, 8), (3, 8, 16), (3, 16, 1)])
     x = jnp.asarray(rng.standard_normal((1, 40, 140, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
 def test_fused_batch_dim():
     rng = np.random.default_rng(2)
-    params = _params(rng, [(3, 1, 4), (3, 4, 1)])
+    params = _params(rng, [(3, 1, 8), (3, 8, 8), (3, 8, 1)])
     x = jnp.asarray(rng.standard_normal((2, 40, 135, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=16, tile_w=128)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
