@@ -106,19 +106,39 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
 
         i = pl.program_id(0)
         j = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            a_hbm.at[pl.ds(i * tile_h, win_h), pl.ds(j * tile_w, win_w), :],
-            a_vmem,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        n_j = pl.num_programs(1)
+        n_total = pl.num_programs(0) * n_j
+        g = i * n_j + j
+
+        def get_dma(slot, g2):
+            i2 = g2 // n_j
+            j2 = g2 % n_j
+            return pltpu.make_async_copy(
+                a_hbm.at[
+                    pl.ds(i2 * tile_h, win_h), pl.ds(j2 * tile_w, win_w), :
+                ],
+                a_vmem.at[slot],
+                sem.at[slot],
+            )
+
+        # double-buffered windows: prefetch tile g+1 while computing g
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g == 0)
+        def _():
+            get_dma(0, 0).start()
+
+        @pl.when(g + 1 < n_total)
+        def _():
+            get_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+
+        get_dma(slot, g).wait()
 
         # ---- middle layers: per-dy im2col bf16 MXU matmuls, f32 acc ----
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
-            src = a_vmem if li == 0 else act_refs[li - 1]
+            src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
             acc = acc_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
@@ -144,7 +164,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         # ---- last layer: n_out=1, patches + f32 lane reduce on VPU ----
         fL, kL = fs[-1], ks[-1]
         ohL, owL = hs[-1], ws[-1]
-        src = a_vmem if n_layers == 1 else act_refs[n_layers - 2]
+        src = a_vmem.at[slot] if n_layers == 1 else act_refs[n_layers - 2]
         p_ref = p_refs[n_layers - 1]
         wL_ref, bL_ref = wrefs[-2], wrefs[-1]
         out_ref[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -165,8 +185,8 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         out_ref[...] = out_ref[...] + bL_ref[0]
 
     scratch_shapes = [
-        pltpu.VMEM((win_h, win_w, c_pad), jnp.float32),  # input window
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.VMEM((2, win_h, win_w, c_pad), jnp.float32),  # double-buffered windows
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     for li in range(n_layers - 1):  # f32 activations of middle layers
         # (activations stay f32: Mosaic cannot dynamically slice the H dim

@@ -25,7 +25,30 @@ import sys
 from PIL import Image
 
 
-def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng):
+def _degrade_pil(large, out_size, degrade_factor):
+    small_size = max(1, int(out_size / degrade_factor))
+    small = large.resize((small_size, small_size), Image.LANCZOS)
+    return small.resize((out_size, out_size), Image.LANCZOS)
+
+
+def _degrade_jax(large, out_size, degrade_factor):
+    """On-device degradation via the framework's jitted resize ops
+    (ops/resize.degrade) — the 'input pipeline fused on-device' variant."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax.numpy as jnp
+
+    from cnn_sr_tpu.ops.resize import degrade
+
+    arr = jnp.asarray(np.asarray(large), jnp.float32)
+    soft = degrade(arr, degrade_factor, method="lanczos")
+    out = np.clip(np.round(np.asarray(soft)), 0, 255).astype("uint8")
+    return Image.fromarray(out, "RGB")
+
+
+def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng,
+                  backend="pil"):
     with Image.open(in_path) as im:
         if im.width < out_size or im.height < out_size:
             raise ValueError(
@@ -40,9 +63,10 @@ def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng):
     small_path = os.path.join(out_dir, f"sample_{img_id}_small.jpg")
     large.save(large_path, "JPEG")
 
-    small_size = max(1, int(out_size / degrade_factor))
-    small = large.resize((small_size, small_size), Image.LANCZOS)
-    small = small.resize((out_size, out_size), Image.LANCZOS)
+    if backend == "jax":
+        small = _degrade_jax(large, out_size, degrade_factor)
+    else:
+        small = _degrade_pil(large, out_size, degrade_factor)
     small.save(small_path, "JPEG")
     return large_path, small_path
 
@@ -59,6 +83,9 @@ def main(argv=None) -> int:
     p.add_argument("--degrade-factor", "-d", type=float, default=2,
                    help="downscale factor used to produce the degraded image")
     p.add_argument("--seed", type=int, default=None, help="crop RNG seed")
+    p.add_argument("--backend", choices=["pil", "jax"], default="pil",
+                   help="degradation backend: PIL (host) or the framework's "
+                   "on-device jitted resize")
     args = p.parse_args(argv)
 
     rng = random.Random(args.seed)
@@ -75,6 +102,7 @@ def main(argv=None) -> int:
                 process_image(
                     os.path.join(args.in_dir, name), args.out_dir,
                     img_id, args.out_size, args.degrade_factor, rng,
+                    backend=args.backend,
                 )
             )
         except (OSError, ValueError) as e:
