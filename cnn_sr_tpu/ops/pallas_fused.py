@@ -67,10 +67,11 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
     fs, ks, ns = [], [], []
     for li in range(n_layers):
         w = wbs[2 * li]
-        f = w.shape[0]
         if li == n_layers - 1:
-            fs.append(f); ks.append(w.shape[2] // f); ns.append(1)
+            f = int(round(w.shape[0] ** 0.5))  # wL is (f², 1, k)
+            fs.append(f); ks.append(w.shape[2]); ns.append(1)
         else:
+            f = w.shape[0]
             fs.append(f); ks.append(w.shape[1] // f); ns.append(w.shape[2])
     shrinks = [f - 1 for f in fs]
     shrink = sum(shrinks)
@@ -101,8 +102,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch = refs[2 * n_layers + 1 :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
-        acc_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
-        p_refs = scratch[2 + 2 * (n_layers - 1) :]
+        p_refs = scratch[2 + (n_layers - 1) :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -135,54 +135,59 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         get_dma(slot, g).wait()
 
         # ---- middle layers: per-dy im2col bf16 MXU matmuls, f32 acc ----
+        # dy is unrolled statically (f is small) so the dot results sum as
+        # VALUES — one accumulator write per layer instead of one ref
+        # round-trip per dy.
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
-            acc = acc_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
-            acc[...] = jnp.zeros((oh, ow, n), jnp.float32)
 
-            def mid_body(dy, _, f=f, k=k, n=n, oh=oh, ow=ow,
-                         src=src, acc=acc, p_ref=p_ref, w_ref=w_ref):
+            acc = None
+            for dy in range(f):
                 for dx in range(f):
                     p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                        pl.ds(dy, oh), dx : dx + ow, 0:k
+                        dy : dy + oh, dx : dx + ow, 0:k
                     ].astype(dtype)
                 y = jnp.dot(
                     p_ref[...].reshape(oh * ow, f * k),
                     w_ref[dy],
                     preferred_element_type=jnp.float32,
                 )
-                acc[...] = acc[...] + y.reshape(oh, ow, n)
-                return 0
+                acc = y if acc is None else acc + y
+            act_refs[li][...] = jnp.maximum(
+                acc.reshape(oh, ow, n) + b_ref[...], 0.0
+            )
 
-            jax.lax.fori_loop(0, f, mid_body, 0)
-            act_refs[li][...] = jnp.maximum(acc[...] + b_ref[...], 0.0)
-
-        # ---- last layer: n_out=1, patches + f32 lane reduce on VPU ----
+        # ---- last layer: n_out=1, row-block accumulation on the VPU ----
+        # Patch-building would read the source activation f² times through
+        # VMEM; instead each 8-row output block loads its (8+f−1)-row band
+        # ONCE as a value and applies all f² taps as shifted in-register
+        # FMAs, with a single lane reduction at the end.
         fL, kL = fs[-1], ks[-1]
-        ohL, owL = hs[-1], ws[-1]
+        owL = ws[-1]
         src = a_vmem.at[slot] if n_layers == 1 else act_refs[n_layers - 2]
-        p_ref = p_refs[n_layers - 1]
         wL_ref, bL_ref = wrefs[-2], wrefs[-1]
-        out_ref[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        RB = 8
 
-        def last_body(dy, _):
-            for dx in range(fL):
-                p_ref[:, :, dx * kL : (dx + 1) * kL] = src[
-                    pl.ds(dy, ohL), dx : dx + owL, 0:kL
-                ].astype(dtype)
-            wrow = wL_ref[dy]  # (1, f·k) — wL is (f, 1, f·k): dynamic
-            # indexing on the untiled leading dim (a 2D bf16 sublane index
-            # would need an 8-multiple proof Mosaic can't make)
-            prod = p_ref[...].astype(jnp.float32) * wrow.astype(jnp.float32)
-            out_ref[...] = out_ref[...] + jnp.sum(prod, axis=-1)
+        def last_rowblock(rb, _):
+            band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1, 0:kL]
+            acc3 = jnp.zeros((RB, owL, kL), jnp.float32)
+            for dy in range(fL):
+                for dx in range(fL):
+                    # wL is (f², 1, k): static leading index → (1, k) row
+                    acc3 = acc3 + (
+                        band[dy : dy + RB, dx : dx + owL, :]
+                        * wL_ref[dy * fL + dx].astype(jnp.float32)
+                    )
+            out_ref[pl.ds(rb * RB, RB), :] = (
+                jnp.sum(acc3, axis=-1) + bL_ref[0]
+            )
             return 0
 
-        jax.lax.fori_loop(0, fL, last_body, 0)
-        out_ref[...] = out_ref[...] + bL_ref[0]
+        jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
 
     scratch_shapes = [
         pltpu.VMEM((2, win_h, win_w, c_pad), jnp.float32),  # double-buffered windows
@@ -194,11 +199,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
-    for li in range(n_layers - 1):  # f32 accumulators of middle layers
-        scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
-        )
-    for li in range(n_layers):      # patch buffers for every layer
+    for li in range(n_layers - 1):  # patch buffers for the MXU middle layers
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], fs[li] * ks[li]), dtype)
         )
@@ -232,7 +233,9 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
         if li == n_layers - 1:
-            wbs.append(w.reshape(f, 1, f * k).astype(dtype))
+            # (f, f, k, 1) → (f², 1, k), kept f32 (the last layer runs on
+            # the VPU in f32; rows are indexed statically per tap)
+            wbs.append(w.reshape(f * f, k)[:, None, :])
         else:
             wbs.append(w.reshape(f, f * k, n).astype(dtype))
         wbs.append(jnp.asarray(l["b"], jnp.float32))
