@@ -102,7 +102,8 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch = refs[2 * n_layers + 1 :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
-        p_refs = scratch[2 + (n_layers - 1) :]
+        acc_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
+        p_refs = scratch[2 + 2 * (n_layers - 1) :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -135,31 +136,33 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         get_dma(slot, g).wait()
 
         # ---- middle layers: per-dy im2col bf16 MXU matmuls, f32 acc ----
-        # dy is unrolled statically (f is small) so the dot results sum as
-        # VALUES — one accumulator write per layer instead of one ref
-        # round-trip per dy.
+        # (dy stays a fori_loop: static unrolling at 1080p tile sizes blows
+        # the Mosaic compiler's budget)
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
+            acc = acc_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
+            acc[...] = jnp.zeros((oh, ow, n), jnp.float32)
 
-            acc = None
-            for dy in range(f):
+            def mid_body(dy, _, f=f, k=k, n=n, oh=oh, ow=ow,
+                         src=src, acc=acc, p_ref=p_ref, w_ref=w_ref):
                 for dx in range(f):
                     p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                        dy : dy + oh, dx : dx + ow, 0:k
+                        pl.ds(dy, oh), dx : dx + ow, 0:k
                     ].astype(dtype)
                 y = jnp.dot(
                     p_ref[...].reshape(oh * ow, f * k),
                     w_ref[dy],
                     preferred_element_type=jnp.float32,
                 )
-                acc = y if acc is None else acc + y
-            act_refs[li][...] = jnp.maximum(
-                acc.reshape(oh, ow, n) + b_ref[...], 0.0
-            )
+                acc[...] = acc[...] + y.reshape(oh, ow, n)
+                return 0
+
+            jax.lax.fori_loop(0, f, mid_body, 0)
+            act_refs[li][...] = jnp.maximum(acc[...] + b_ref[...], 0.0)
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -196,6 +199,10 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
     for li in range(n_layers - 1):  # f32 activations of middle layers
         # (activations stay f32: Mosaic cannot dynamically slice the H dim
         # of packed bf16 refs; only patches/weights stream in `dtype`)
+        scratch_shapes.append(
+            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
+        )
+    for li in range(n_layers - 1):  # f32 accumulators of middle layers
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
