@@ -98,7 +98,8 @@ def conv_layer(
     return y
 
 
-def forward(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def forward(params: Params, x: jnp.ndarray,
+            precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Full forward pass: ReLU on every layer but the last (linear), as in
     ConfigBasedDataPipeline::forward (ConfigBasedDataPipeline.cpp:200-241).
 
@@ -108,7 +109,8 @@ def forward(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = x
     last = len(params) - 1
     for i, layer in enumerate(params):
-        y = conv_layer(y, layer["w"], layer["b"], relu=(i != last))
+        y = conv_layer(y, layer["w"], layer["b"], relu=(i != last),
+                       precision=precision)
     return y
 
 
@@ -133,7 +135,8 @@ def center_crop(gt: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return gt[..., pad_h : pad_h + out_h, pad_w : pad_w + out_w, :]
 
 
-def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
+             precision=lax.Precision.HIGHEST) -> jnp.ndarray:
     """Training loss whose gradient matches the reference's backprop:
     ``0.5 · Σ (y − crop(gt))²`` summed over pixels, channels AND samples.
 
@@ -143,7 +146,7 @@ def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     batch-size division happens inside the update rule, so this loss is
     intentionally NOT mean-reduced). Includes the ReLU' backprop gate.
     """
-    y = forward(params, x)
+    y = forward(params, x, precision=precision)
     y = relu_backprop_gate(y)
     t = center_crop(gt, y.shape[-3], y.shape[-2])
     d = y - t
