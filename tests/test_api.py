@@ -1,0 +1,70 @@
+"""API-level tests: single vs batched upscaling, fast_forward parity."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cnn_sr_tpu.api import upscale_batch, upscale_image
+from cnn_sr_tpu.models import forward
+from cnn_sr_tpu.models.fast_forward import fast_forward
+from cnn_sr_tpu.utils.config import parse_config
+from cnn_sr_tpu.utils.params_io import random_parameters
+
+CFG = {
+    "n1": 4, "n2": 2, "f1": 3, "f2": 1, "f3": 3,
+    "momentum": 0.9, "weight_decay_parameter": 0.0,
+    "learning_rates": [1e-3, 1e-3, 1e-4],
+    **{
+        f"parameters_distribution_{i}": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        }
+        for i in (1, 2, 3)
+    },
+}
+
+
+def test_upscale_batch_matches_single():
+    cfg = parse_config(CFG)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
+    rng = np.random.default_rng(1)
+    rgbas = rng.integers(0, 256, (3, 20, 24, 4), dtype=np.uint8)
+    batched = upscale_batch(cfg, params, rgbas)
+    assert batched.shape == (3, 20, 24, 3)
+    for i in range(3):
+        single = upscale_image(cfg, params, rgbas[i])
+        np.testing.assert_array_equal(batched[i], single)
+
+
+@pytest.mark.parametrize("k_in", [1, 3])
+def test_fast_forward_f32_matches_conv(k_in):
+    rng = np.random.default_rng(2)
+    params = [
+        {"w": jnp.asarray(rng.standard_normal((5, 5, k_in, 8)).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.standard_normal(8).astype(np.float32) * 0.1)},
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 4)).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.standard_normal(4).astype(np.float32) * 0.1)},
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 4, k_in)).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.standard_normal(k_in).astype(np.float32) * 0.1)},
+    ]
+    x = jnp.asarray(rng.standard_normal((2, 24, 28, k_in)).astype(np.float32))
+    y_conv = forward(params, x)
+    y_fast = fast_forward(params, x, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_conv), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fast_forward_bf16_close():
+    rng = np.random.default_rng(3)
+    params = [
+        {"w": jnp.asarray(rng.standard_normal((9, 9, 1, 8)).astype(np.float32) * 0.05),
+         "b": jnp.zeros(8)},
+        {"w": jnp.asarray(rng.standard_normal((5, 5, 8, 1)).astype(np.float32) * 0.05),
+         "b": jnp.zeros(1)},
+    ]
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 40, 40, 1)).astype(np.float32))
+    y_conv = np.asarray(forward(params, x))
+    y_fast = np.asarray(fast_forward(params, x, dtype=jnp.bfloat16))
+    assert np.abs(y_fast - y_conv).max() < 0.02

@@ -1,0 +1,71 @@
+"""Full-pipeline parity vs the loop-level numpy oracle.
+
+The strongest end-to-end correctness statement available without running
+the reference binary (the repo ships no pretrained weights): the ENTIRE
+upscale pipeline — Rec.601 luma extract + /255 + mean subtract → conv
+stack (valid, [f,f,k,n] weights, ReLU/linear) → swap-luma recombine with
+truncation and border passthrough — recomputed with the independent
+tests/oracles.py loop implementations must match `api.upscale_image`
+within ±1 uint8 per channel (float-order rounding at integer boundaries
+is the only allowed difference).
+"""
+
+import numpy as np
+import pytest
+
+from cnn_sr_tpu.api import upscale_image
+from cnn_sr_tpu.utils.config import parse_config
+from cnn_sr_tpu.utils.params_io import random_parameters
+
+import oracles
+
+CFG = {
+    "n1": 5, "n2": 3, "f1": 5, "f2": 1, "f3": 3,
+    "momentum": 0.9, "weight_decay_parameter": 0.0001,
+    "learning_rates": [1e-4, 1e-4, 1e-5],
+    **{
+        f"parameters_distribution_{i}": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.08, "std_deviation_b": 0.02,
+        }
+        for i in (1, 2, 3)
+    },
+}
+
+
+def _oracle_pipeline(params, rgba):
+    luma = oracles.extract_luma(rgba, normalize=True).astype(np.float64)
+    luma = luma - luma.mean()
+    act = luma[..., None].astype(np.float32)
+    n = len(params)
+    for i, p in enumerate(params):
+        act = oracles.conv_forward(act, p["w"], p["b"], relu=(i != n - 1))
+    return oracles.swap_luma(rgba, act[..., 0])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_full_pipeline_matches_oracle(seed):
+    cfg = parse_config(CFG)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=seed)
+
+    rng = np.random.default_rng(seed + 10)
+    yy, xx = np.mgrid[0:30, 0:36]
+    base = np.clip(
+        128 + 70 * np.sin(yy / 5.0) + 50 * np.cos(xx / 7.0)
+        + rng.normal(0, 10, (30, 36)),
+        0, 255,
+    )
+    rgba = np.stack(
+        [base, np.clip(base * 0.7 + 30, 0, 255), 255 - base,
+         np.full_like(base, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+
+    got = upscale_image(cfg, params, rgba)
+    want = _oracle_pipeline(params, rgba)
+
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # truncation boundary flips only
+    assert diff.max() <= 1, f"max channel diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} of pixels differ"
