@@ -82,14 +82,17 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
     # 3D (H, W, C) arrays tile the last two dims → the DMA window needs
     # W-dim (sublane) 8-alignment and a 128-multiple lane (channel) size;
     # H is untiled (any offset). Channel padding is physically free.
+    sub_align = 16 if dtype == jnp.bfloat16 else 8  # packed-dtype W tiling
     win_h = tile_h + shrink
-    win_w = -(-(tile_w + shrink) // 8) * 8
+    win_w = -(-(tile_w + shrink) // sub_align) * sub_align
     c_pad = -(-c_in // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
+    # the window streams in `dtype` (3D refs allow dynamic indexing on the
+    # untiled H dim even when packed; only 2D sublane indexing is barred)
     ap = jnp.pad(
         a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
-    ).astype(jnp.float32)
+    ).astype(dtype)
 
     hs, ws = [win_h], [tile_w + shrink]
     for s in shrinks:
@@ -193,7 +196,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
 
     scratch_shapes = [
-        pltpu.VMEM((2, win_h, win_w, c_pad), jnp.float32),  # double-buffered windows
+        pltpu.VMEM((2, win_h, win_w, c_pad), dtype),  # double-buffered windows
         pltpu.SemaphoreType.DMA((2,)),
     ]
     for li in range(n_layers - 1):  # f32 activations of middle layers
@@ -262,7 +265,7 @@ def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256,
     from ..models import forward as _xla_forward
 
     tile_h = max(8, tile_h // 8 * 8)
-    tile_w = max(8, tile_w // 8 * 8)
+    tile_w = max(16, tile_w // 16 * 16)  # bf16 window offsets need 16-alignment
 
     shrink = sum(l["w"].shape[0] - 1 for l in params)
     mids_ok = all(l["w"].shape[2] % 8 == 0 for l in params[1:])

@@ -109,7 +109,7 @@ def make_train_step(
     return sharded_step
 
 
-def make_multi_epoch_step(cfg: Config, num_chunks: int = 1) -> Callable:
+def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callable:
     """Build a jitted multi-epoch step: ``lax.scan`` over K epochs in ONE
     dispatch — (params, prev, inputs, gts, train_idx[K,T], val_idx[K,V],
     do_val[K]) → (params', prev', val_errs[K]).
@@ -148,7 +148,22 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1) -> Callable:
         )
         return params, prev_delta, errs
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    if mesh is None:
+        return jitted
+
+    from ..parallel.data_parallel import replicate, shard_batch
+
+    def sharded(params, prev_delta, inputs, gts, train_idx, val_idx, do_val):
+        # samples sharded over "data"; the per-epoch gathers then index a
+        # sharded batch axis and XLA inserts the psum on the raw-sum grads
+        return jitted(
+            replicate(mesh, params), replicate(mesh, prev_delta),
+            shard_batch(mesh, inputs), shard_batch(mesh, gts),
+            train_idx, val_idx, do_val,
+        )
+
+    return sharded
 
 
 def make_validation_fn(mesh=None) -> Callable:
@@ -212,8 +227,8 @@ def train_loop(
     def _is_val_epoch(e):
         return validation_size > 0 and ((e % validation_cadence) == 0 or e == epochs - 1)
 
-    if epochs_per_dispatch > 1 and mesh is None and epochs > 1:
-        step_k = make_multi_epoch_step(cfg, num_chunks=num_chunks)
+    if epochs_per_dispatch > 1 and epochs > 1:
+        step_k = make_multi_epoch_step(cfg, num_chunks=num_chunks, mesh=mesh)
         error = False
         epoch_id = 0
         while epoch_id < epochs and not error:

@@ -115,3 +115,31 @@ def test_entry_compiles(devices):
     y = jax.jit(fn)(*args)
     jax.block_until_ready(y)
     assert y.shape[0] == 1 and y.shape[-1] == 1
+
+
+def test_scanned_dispatch_over_mesh_matches_single(devices):
+    """Multi-epoch scan dispatch with a data mesh must equal the
+    single-device scanned path."""
+    from cnn_sr_tpu.training.samples import SampleSet
+    from cnn_sr_tpu.training.trainer import train_loop
+
+    cfg = parse_config(CFG)
+    rng = np.random.default_rng(9)
+    samples = SampleSet(
+        input_luma=rng.standard_normal((10, 12, 12, 1)).astype(np.float32),
+        expected_luma=rng.uniform(0, 1, (10, 12, 12, 1)).astype(np.float32),
+        width=12, height=12,
+    )
+
+    state_a = init_train_state(cfg, seed=4)
+    assert not train_loop(cfg, samples, state_a, epochs=6, validation_cadence=2,
+                          seed=5, epochs_per_dispatch=3, log=lambda *a: None)
+
+    mesh = make_mesh(n_data=2, devices=devices)
+    state_b = init_train_state(cfg, seed=4)
+    assert not train_loop(cfg, samples, state_b, epochs=6, validation_cadence=2,
+                          seed=5, epochs_per_dispatch=3, mesh=mesh,
+                          log=lambda *a: None)
+
+    for a, b in zip(state_a.params, state_b.params):
+        np.testing.assert_allclose(a["w"], b["w"], rtol=1e-5, atol=1e-6)
