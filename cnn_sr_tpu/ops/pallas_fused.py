@@ -252,7 +252,7 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
     return wbs
 
 
-def fused_forward(params, x, tile_h: int = 64, tile_w: int = 256,
+def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
                   dtype=jnp.bfloat16):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, 1).
 
