@@ -143,3 +143,21 @@ def test_scanned_dispatch_over_mesh_matches_single(devices):
 
     for a, b in zip(state_a.params, state_b.params):
         np.testing.assert_allclose(a["w"], b["w"], rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_sharded_forward_rgb(devices):
+    """Spatial sharding over an RGB model (3-channel in/out)."""
+    rng = np.random.default_rng(12)
+    params = [
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.1),
+         "b": jnp.zeros(8)},
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 3)).astype(np.float32) * 0.1),
+         "b": jnp.zeros(3)},
+    ]
+    x = jnp.asarray(rng.standard_normal((1, 16, 20, 3)).astype(np.float32))
+    mesh = make_mesh(n_data=1, n_spatial=4, devices=devices)
+    y_sharded = sharded_forward(mesh, params, x)
+    y_ref = forward(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
