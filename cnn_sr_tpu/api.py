@@ -50,19 +50,77 @@ def _upscale_rgb_jit(params, rgba):
     return swap_rgb(rgba, y)
 
 
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
+                         use_pallas: bool = False):
+    """Net luma output for an edge-padded image whose valid region is
+    (valid_h, valid_w) — traced scalars, so ONE compiled program serves
+    every image that rounds up to the same bucket shape.
+
+    Valid-conv outputs inside the valid region read only valid input
+    pixels, so they equal the unpadded computation exactly — provided the
+    mean subtraction uses the valid-region mean (masked sum here).
+    """
+    luma = extract_luma(rgba_padded, normalize=True)
+    h, w = luma.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (rows < valid_h) & (cols < valid_w)
+    mean = jnp.sum(jnp.where(valid, luma, 0.0)) / (
+        valid_h.astype(jnp.float32) * valid_w.astype(jnp.float32)
+    )
+    luma0 = luma - mean
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        return fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+    return forward(params, luma0[None, ..., None])[0, ..., 0]
+
+
+@jax.jit
+def _swap_luma_jit(rgba, y):
+    return swap_luma(rgba, y)
+
+
+def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool):
+    """Pad H/W up to multiples of ``bucket`` (edge replication) so the
+    expensive conv program compiles once per bucket instead of once per
+    image shape; only the cheap swap-luma program is shape-specific."""
+    h, w = rgba.shape[:2]
+    shrink = cfg.total_padding()
+    hp = -(-h // bucket) * bucket
+    wp = -(-w // bucket) * bucket
+    padded = np.pad(rgba, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    y = _luma_forward_padded(
+        params, jnp.asarray(padded),
+        jnp.int32(h), jnp.int32(w), use_pallas=use_pallas,
+    )
+    y_valid = y[: h - shrink, : w - shrink]
+    return np.asarray(_swap_luma_jit(jnp.asarray(rgba), y_valid))
+
+
 def upscale_image(
     cfg: Config,
     params,
     rgba: np.ndarray,
     use_pallas: bool = False,
+    bucket: int = 0,
 ) -> np.ndarray:
     """Run the network over a decoded uint8 RGBA image; returns uint8 RGB.
 
     The luma model replaces the Y channel inside the valid-conv center
     window and passes the border through (reference behavior); the RGB
     model does the same with all three channels.
+
+    ``bucket`` > 0 pads image shapes up to multiples of ``bucket`` so the
+    conv program compiles once per bucket instead of once per exact image
+    size (results are identical; recommended 64 when processing many
+    differently-sized images).
     """
     params_j = jax.tree.map(jnp.asarray, params)
+    if cfg.channels == 1 and bucket > 0:
+        return _upscale_luma_bucketed(cfg, params_j, np.asarray(rgba),
+                                      bucket, use_pallas)
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas)

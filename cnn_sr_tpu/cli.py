@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference requires pre-upscaled input; this fuses that step)",
     )
     p.add_argument(
+        "--bucket", type=int, default=0,
+        help="pad image shapes up to multiples of this so the conv program "
+        "compiles once per bucket (identical results; recommended 64 for "
+        "directories of mixed sizes; 0 = exact shapes)",
+    )
+    p.add_argument(
         "--trace-dir", default=None,
         help="capture a jax.profiler trace into this directory "
         "(op-level timeline for TensorBoard/Perfetto)",
@@ -102,7 +108,7 @@ def run_forward(args, cfg, profiler) -> int:
 
     out = profiler.timed(
         "upscale (jit: luma+forward+swap)",
-        upscale_image, cfg, state.params, rgba, args.pallas,
+        upscale_image, cfg, state.params, rgba, args.pallas, args.bucket,
     )
 
     if args.out_path:
@@ -141,7 +147,7 @@ def _run_forward_dir(args, cfg, state, profiler) -> int:
 
             rgba = np.asarray(upscale_rgba(rgba, args.scale))
         out = profiler.timed("upscale", upscale_image, cfg, state.params,
-                             rgba, args.pallas)
+                             rgba, args.pallas, args.bucket)
         if args.out_path:
             stem = os.path.splitext(name)[0]
             dst = os.path.join(args.out_path, f"{stem}_sr.png")
@@ -201,7 +207,7 @@ _MODE_WORDS = {"train", "dry", "profile"}
 _VALUED_OPTS = {
     "-c", "--config", "-i", "--in", "-o", "--out", "-e", "--epochs",
     "--validation-percent", "--mini-batch-count", "--validation-cadence",
-    "--seed", "--scale", "--epochs-per-dispatch",
+    "--seed", "--scale", "--epochs-per-dispatch", "--bucket", "--trace-dir",
 }
 
 

@@ -68,3 +68,15 @@ def test_fast_forward_bf16_close():
     y_conv = np.asarray(forward(params, x))
     y_fast = np.asarray(fast_forward(params, x, dtype=jnp.bfloat16))
     assert np.abs(y_fast - y_conv).max() < 0.02
+
+
+def test_bucketed_upscale_identical_to_exact():
+    """Shape bucketing must not change a single output byte."""
+    cfg = parse_config(CFG)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=4)
+    rng = np.random.default_rng(5)
+    for h, w in [(30, 37), (64, 64), (41, 70)]:
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        exact = upscale_image(cfg, params, rgba)
+        bucketed = upscale_image(cfg, params, rgba, bucket=64)
+        np.testing.assert_array_equal(bucketed, exact, err_msg=f"shape {h}x{w}")
