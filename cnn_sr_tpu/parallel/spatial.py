@@ -29,14 +29,22 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
-def sharded_forward(mesh: Mesh, params, x: jnp.ndarray) -> jnp.ndarray:
+def sharded_forward(mesh: Mesh, params, x: jnp.ndarray,
+                    forward_fn=None) -> jnp.ndarray:
     """Run the model over ``x`` with H sharded on the "spatial" mesh axis.
 
     Requires ``H % n_spatial == 0`` and a shard height ≥ the stack's
     total shrink (so one neighbor's halo suffices).
     Returns the (N, H − shrink, W − shrink, C_out) output, replicated
     row-sharded like the input.
+
+    ``forward_fn`` (default ``models.forward``) runs on each shard after
+    the halo exchange — pass ``ops.pallas_fused.fused_forward`` to use
+    the fused kernel per chip (each shard's rows are contiguous, so the
+    tile kernel applies unchanged).
     """
+    if forward_fn is None:
+        forward_fn = forward
     shrink = sum(layer["w"].shape[0] - 1 for layer in params)
     n_spatial = mesh.shape["spatial"]
     h = x.shape[1]
@@ -53,7 +61,7 @@ def sharded_forward(mesh: Mesh, params, x: jnp.ndarray) -> jnp.ndarray:
         perm = [(i + 1, i) for i in range(n_spatial - 1)]
         halo = lax.ppermute(xb[:, :shrink], "spatial", perm)
         ext = jnp.concatenate([xb, halo], axis=1)
-        return forward(params, ext)
+        return forward_fn(params, ext)
 
     fn = _shard_map(
         local,

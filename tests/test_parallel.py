@@ -161,3 +161,30 @@ def test_spatial_sharded_forward_rgb(devices):
     np.testing.assert_allclose(
         np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_spatial_sharded_fused_forward(devices):
+    """Halo-exchange sharding composed with the fused Pallas path
+    (interpret mode on the CPU mesh)."""
+    from cnn_sr_tpu.ops.pallas_fused import fused_forward
+
+    rng = np.random.default_rng(13)
+    params = [
+        {"w": jnp.asarray(rng.standard_normal((5, 5, 1, 8)).astype(np.float32) * 0.1),
+         "b": jnp.zeros(8)},
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * 0.1),
+         "b": jnp.zeros(8)},
+        {"w": jnp.asarray(rng.standard_normal((3, 3, 8, 1)).astype(np.float32) * 0.1),
+         "b": jnp.zeros(1)},
+    ]
+    x = jnp.asarray(rng.standard_normal((1, 80, 150, 1)).astype(np.float32))
+    mesh = make_mesh(n_data=1, n_spatial=2, devices=devices)
+    y_sharded = sharded_forward(
+        mesh, params, x,
+        forward_fn=lambda p, a: fused_forward(p, a, tile_h=16, tile_w=128,
+                                              dtype=jnp.float32),
+    )
+    y_ref = forward(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-4, atol=1e-4
+    )
