@@ -69,7 +69,7 @@ class StageProfiler:
         self.counts[name] += 1
         return out
 
-    def report(self, log=print, wall_clock: Optional[float] = None):
+    def report(self, log=print):
         """Ranked per-stage share, like profile.py's kernel breakdown."""
         if not self.enabled or not self.totals:
             return
