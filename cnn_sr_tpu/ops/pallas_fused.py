@@ -138,9 +138,12 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
 
         get_dma(slot, g).wait()
 
-        # ---- middle layers: per-dy im2col bf16 MXU matmuls, f32 acc ----
-        # (dy stays a fori_loop: static unrolling at 1080p tile sizes blows
-        # the Mosaic compiler's budget)
+        # ---- middle layers: shared-patch im2col bf16 MXU matmuls ----
+        # Patches for dy+1 are a one-row shift of dy's, so ONE extended
+        # patch buffer of height oh+f−1 is built (f static stores) and all
+        # f matmuls read dynamic row-slices of it — cutting patch-store
+        # traffic f× vs rebuilding per dy (measured 30→22.6 ms for the
+        # DMA+conv2 scope on 1080p).
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
@@ -148,16 +151,18 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
             acc = acc_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
+
+            ph = oh + f - 1
+            for dx in range(f):
+                p_ref[:, :, dx * k : (dx + 1) * k] = src[
+                    0:ph, dx : dx + ow, 0:k
+                ].astype(dtype)
             acc[...] = jnp.zeros((oh, ow, n), jnp.float32)
 
             def mid_body(dy, _, f=f, k=k, n=n, oh=oh, ow=ow,
-                         src=src, acc=acc, p_ref=p_ref, w_ref=w_ref):
-                for dx in range(f):
-                    p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                        pl.ds(dy, oh), dx : dx + ow, 0:k
-                    ].astype(dtype)
+                         acc=acc, p_ref=p_ref, w_ref=w_ref):
                 y = jnp.dot(
-                    p_ref[...].reshape(oh * ow, f * k),
+                    p_ref[pl.ds(dy, oh), :, :].reshape(oh * ow, f * k),
                     w_ref[dy],
                     preferred_element_type=jnp.float32,
                 )
@@ -209,9 +214,9 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
-    for li in range(n_layers - 1):  # patch buffers for the MXU middle layers
+    for li in range(n_layers - 1):  # extended patch buffers (height oh+f−1)
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], fs[li] * ks[li]), dtype)
+            pltpu.VMEM((hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ks[li]), dtype)
         )
 
     out = pl.pallas_call(
