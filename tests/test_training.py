@@ -166,3 +166,24 @@ def test_init_train_state_loads_parameters_file(tmp_path):
     assert state2.epochs == 123  # epoch counter resumes
     for a, b in zip(state.params, state2.params):
         np.testing.assert_array_equal(a["w"], b["w"])
+
+
+def test_zero_validation_percent_both_dispatch_paths():
+    """Empty validation set (the reference warns and skips — Main_cl.cpp:118-120)
+    must work in per-epoch and scanned dispatch."""
+    from cnn_sr_tpu.training.samples import SampleSet
+
+    rng = np.random.default_rng(0)
+    samples = SampleSet(
+        input_luma=rng.standard_normal((4, 10, 10, 1)).astype(np.float32),
+        expected_luma=rng.uniform(0, 1, (4, 10, 10, 1)).astype(np.float32),
+        width=10, height=10,
+    )
+    cfg = parse_config(CFG_RAW)
+    for epd in (1, 3):
+        state = init_train_state(cfg, seed=0)
+        logs = []
+        err = train_loop(cfg, samples, state, epochs=5, validation_percent=0,
+                         epochs_per_dispatch=epd, seed=0, log=logs.append)
+        assert not err and state.epochs == 5
+        assert any("Validation set is empty" in l for l in logs)
