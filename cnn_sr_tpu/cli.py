@@ -16,8 +16,12 @@ CLI parity with the reference (Main_cl.cpp:40-115):
 
 Knobs the reference hardcodes are exposed as optional flags with the
 reference's values as defaults: ``--validation-percent`` (20),
-``--mini-batch-count`` (2), ``--validation-cadence`` (25), plus
-``--seed`` and ``--pallas`` (use the fused Pallas inference kernel).
+``--mini-batch-count`` (2), ``--validation-cadence`` (25). TPU-native
+extensions: ``--pallas`` (fused inference kernel), ``--scale`` (fused
+on-device pre-upscale), ``--bucket`` (shape bucketing for the compile
+cache), ``--epochs-per-dispatch`` (scanned multi-epoch dispatch),
+``--trace-dir`` (op-level profiler traces), ``--seed``, and forward mode
+over a whole directory of images.
 """
 
 from __future__ import annotations
