@@ -82,6 +82,38 @@ def _swap_luma_jit(rgba, y):
     return swap_luma(rgba, y)
 
 
+@jax.jit
+def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w):
+    """RGB-model analog of ``_luma_forward_padded``: per-channel
+    valid-region mean subtraction on an edge-padded image."""
+    rgb = rgba_padded[..., :3].astype(jnp.float32) / 255.0
+    h, w = rgb.shape[0], rgb.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((rows < valid_h) & (cols < valid_w))[..., None]
+    count = valid_h.astype(jnp.float32) * valid_w.astype(jnp.float32)
+    mean = jnp.sum(jnp.where(valid, rgb, 0.0), axis=(0, 1), keepdims=True) / count
+    return forward(params, (rgb - mean)[None])[0]
+
+
+@jax.jit
+def _swap_rgb_jit(rgba, y):
+    return swap_rgb(rgba, y)
+
+
+def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int):
+    h, w = rgba.shape[:2]
+    shrink = cfg.total_padding()
+    hp = -(-h // bucket) * bucket
+    wp = -(-w // bucket) * bucket
+    padded = np.pad(rgba, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    y = _rgb_forward_padded(
+        params, jnp.asarray(padded), jnp.int32(h), jnp.int32(w)
+    )
+    y_valid = y[: h - shrink, : w - shrink]
+    return np.asarray(_swap_rgb_jit(jnp.asarray(rgba), y_valid))
+
+
 def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool):
     """Pad H/W up to multiples of ``bucket`` (edge replication) so the
     expensive conv program compiles once per bucket instead of once per
@@ -118,9 +150,11 @@ def upscale_image(
     differently-sized images).
     """
     params_j = jax.tree.map(jnp.asarray, params)
-    if cfg.channels == 1 and bucket > 0:
-        return _upscale_luma_bucketed(cfg, params_j, np.asarray(rgba),
-                                      bucket, use_pallas)
+    if bucket > 0:
+        if cfg.channels == 1:
+            return _upscale_luma_bucketed(cfg, params_j, np.asarray(rgba),
+                                          bucket, use_pallas)
+        return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket)
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas)

@@ -267,12 +267,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     print(cfg)
 
+    from .utils.debug import warn_blocking_transfers
+
     try:
         profiler.start_trace()
-        if train:
-            rc = run_training(args, cfg, profiler)
-        else:
-            rc = run_forward(args, cfg, profiler)
+        # profile mode also logs every implicit device<->host transfer —
+        # the reference's warn_about_blocking_operation flag (pch.cpp:16)
+        with warn_blocking_transfers(enabled=profile):
+            if train:
+                rc = run_training(args, cfg, profiler)
+            else:
+                rc = run_forward(args, cfg, profiler)
     except FileNotFoundError as e:
         print(f"File not found: {e}")
         return 1

@@ -21,14 +21,33 @@ from PIL import Image
 
 
 def load_image(path: str) -> np.ndarray:
-    """Decode an image file to uint8 RGBA (H, W, 4)."""
+    """Decode an image file to uint8 RGBA (H, W, 4) — native libjpeg/libpng
+    codecs when built, PIL otherwise (and for formats the native layer
+    doesn't handle)."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.decode_rgba(path)
+    except (IOError, OSError):
+        pass  # unsupported format or native decode failure → PIL
     with Image.open(path) as im:
         return np.asarray(im.convert("RGBA"), dtype=np.uint8)
 
 
 def write_image(path: str, rgb: np.ndarray) -> None:
-    """Encode a uint8 (H, W, 3) array as PNG/JPEG by extension."""
-    arr = np.asarray(rgb, dtype=np.uint8)
+    """Encode a uint8 (H, W, 3) array as PNG/JPEG by extension (native
+    libpng encoder for .png when built, PIL otherwise)."""
+    arr = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if path.lower().endswith(".png"):
+        try:
+            from .. import native
+
+            if native.available():
+                native.encode_png(path, arr)
+                return
+        except (IOError, OSError):
+            pass
     Image.fromarray(arr, mode="RGB").save(path)
 
 

@@ -14,6 +14,7 @@ so each host only loads its own shard of the sample set.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,25 +24,38 @@ def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize the JAX distributed runtime (idempotent; no-op for
-    single-process runs with no coordinator configured).
+) -> bool:
+    """Initialize the JAX distributed runtime. Returns True if the
+    distributed service was (or already had been) initialized.
 
-    On TPU pods the arguments are auto-detected from the environment;
-    pass them explicitly for CPU/GPU clusters.
+    MUST run before any JAX call that touches the backend (device
+    queries, array creation, jit execution) — ``jax.distributed``
+    requires an uninitialized XLA client. A no-op returning False when
+    neither explicit arguments nor a cluster environment
+    (COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS / TPU pod metadata)
+    is present. On TPU pods the arguments are auto-detected; pass them
+    explicitly for CPU/GPU clusters.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        import os
-
-        if "COORDINATOR_ADDRESS" not in os.environ and "TPU_WORKER_HOSTNAMES" not in os.environ:
-            return  # single host, nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
+    has_env = any(
+        v in os.environ
+        for v in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
     )
+    if coordinator_address is None and num_processes is None and not has_env:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except RuntimeError as e:
+        # two benign cases: already initialized (idempotent call), or the
+        # backend was touched first (caller ordering bug — surface it)
+        if "already" in str(e).lower():
+            return True
+        raise
 
 
 def shard_host_local_batch(mesh, arr):

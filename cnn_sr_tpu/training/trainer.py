@@ -280,23 +280,22 @@ def train_loop(
         state.epochs += 1  # ++epochs per update (ConfigBasedDataPipeline.cpp:360)
 
         val_err = None
-        if (epoch_id % validation_cadence) == 0 or epoch_id == epochs - 1:
-            if validation_size > 0:
-                val_err = float(validate(params, inputs[val_idx], gts[val_idx]))
-                # the reference aborts on NaN only (Main_cl.cpp:179-184); we
-                # also abort on inf — a diverged run is equally unrecoverable
-                # and the reference would loop printing 'inf' forever
-                if not math.isfinite(val_err):
-                    log(
-                        f"Error: squared error is NAN/Inf, after {epoch_id}/{epochs} epochs"
-                    )
-                    error = True
-                    break
-                mean_err = val_err / validation_size
+        if _is_val_epoch(epoch_id):
+            val_err = float(validate(params, inputs[val_idx], gts[val_idx]))
+            # the reference aborts on NaN only (Main_cl.cpp:179-184); we
+            # also abort on inf — a diverged run is equally unrecoverable
+            # and the reference would loop printing 'inf' forever
+            if not math.isfinite(val_err):
                 log(
-                    f"[{epoch_id}] mean validation error: {mean_err} "
-                    f"({mean_err / samples.pixels_per_sample} per px)"
+                    f"Error: squared error is NAN/Inf, after {epoch_id}/{epochs} epochs"
                 )
+                error = True
+                break
+            mean_err = val_err / validation_size
+            log(
+                f"[{epoch_id}] mean validation error: {mean_err} "
+                f"({mean_err / samples.pixels_per_sample} per px)"
+            )
         if on_epoch is not None:
             on_epoch(epoch_id, val_err)
 

@@ -20,10 +20,8 @@ for the deeper waifu2x-style RGB variants): a config may instead provide
 * ``channels``: number of image channels the net consumes/produces
   (default 1 = luma-only, like the reference; 3 = full RGB);
 * ``layers``: ``[{"n": <filter count>, "f": <spatial size>}, ...]`` —
-  an arbitrary-depth stack; the final layer producing ``channels``
-  outputs is implicit (so the classic config is equivalent to
-  ``layers=[{n1,f1},{n2,f2}]`` + implicit ``{channels,f3}`` — we keep
-  the explicit 3-entry form below for clarity);
+  an arbitrary-depth stack listed EXPLICITLY including the final layer,
+  whose ``n`` must equal ``channels`` (validated);
 * ``learning_rates`` must then have one entry per layer, and either a
   single ``parameters_distribution`` (applied to all layers) or
   per-layer ``parameters_distribution_<i>`` objects may be given.

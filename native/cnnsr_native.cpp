@@ -131,10 +131,62 @@ static int decode_file(const char* path, std::vector<uint8_t>& out, int* w, int*
   return rc;
 }
 
-// Query dimensions then decode into a caller buffer (two-phase ctypes API).
+static int read_header_jpeg(FILE* f, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = (int)cinfo.image_width;
+  *h = (int)cinfo.image_height;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+static int read_header_png(FILE* f, int* w, int* h) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -3;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  *w = (int)png_get_image_width(png, info);
+  *h = (int)png_get_image_height(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// Query dimensions (header-only, no pixel decode) for the two-phase
+// ctypes API.
 int cnnsr_image_size(const char* path, int* w, int* h) {
-  std::vector<uint8_t> px;
-  return decode_file(path, px, w, h);
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  uint8_t magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  int rc;
+  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    rc = read_header_jpeg(f, w, h);
+  } else if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
+    rc = read_header_png(f, w, h);
+  } else {
+    rc = -4;
+  }
+  fclose(f);
+  return rc;
 }
 
 int cnnsr_decode_rgba(const char* path, uint8_t* dst, int w, int h) {
@@ -211,7 +263,11 @@ int cnnsr_load_sample_batch(const char* paths, int n_samples, int w, int h,
       p += strlen(p) + 1;
     }
   }
-  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) {
+    // hardware_concurrency() may legally return 0 ("not computable")
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
   if (n_threads > n_samples) n_threads = n_samples > 0 ? n_samples : 1;
 
   std::atomic<int> next(0);

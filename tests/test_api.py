@@ -80,3 +80,24 @@ def test_bucketed_upscale_identical_to_exact():
         exact = upscale_image(cfg, params, rgba)
         bucketed = upscale_image(cfg, params, rgba, bucket=64)
         np.testing.assert_array_equal(bucketed, exact, err_msg=f"shape {h}x{w}")
+
+
+def test_rgb_bucketed_upscale_identical():
+    raw = {
+        "channels": 3,
+        "layers": [{"n": 6, "f": 3}, {"n": 4, "f": 3}, {"n": 3, "f": 3}],
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3] * 3,
+        "parameters_distribution": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        },
+    }
+    cfg = parse_config(raw)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=6)
+    rng = np.random.default_rng(7)
+    for h, w in [(25, 31), (40, 40)]:
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        exact = upscale_image(cfg, params, rgba)
+        bucketed = upscale_image(cfg, params, rgba, bucket=32)
+        np.testing.assert_array_equal(bucketed, exact, err_msg=f"shape {h}x{w}")
