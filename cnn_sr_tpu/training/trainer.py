@@ -73,6 +73,18 @@ def _grads(params, inputs, gts, num_chunks: int):
     return acc
 
 
+# Compiled-step caches: jit caches key on the function object, so a fresh
+# closure per call would recompile the (expensive) epoch programs on every
+# train_loop invocation. Keyed on the hyperparameters that are baked into
+# the trace; array shapes still re-specialize inside jit as usual.
+_STEP_CACHE: dict = {}
+
+
+def _cache_key(kind, cfg, num_chunks, mesh):
+    return (kind, tuple(cfg.learning_rates), cfg.momentum, cfg.weight_decay,
+            num_chunks, mesh)
+
+
 def make_train_step(
     cfg: Config,
     mesh=None,
@@ -84,6 +96,10 @@ def make_train_step(
     ``inputs``/``gts``: (T, H, W, C). The update divides by T (the
     reference passes train_set.size() as batch_size — Main_cl.cpp:167-170).
     """
+    key = _cache_key("single", cfg, num_chunks, mesh)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
     lrs = tuple(cfg.learning_rates)
     momentum, wd = cfg.momentum, cfg.weight_decay
 
@@ -95,6 +111,7 @@ def make_train_step(
 
     donate = jax.jit(step, donate_argnums=(0, 1))
     if mesh is None:
+        _STEP_CACHE[key] = donate
         return donate
 
     from ..parallel.data_parallel import shard_batch, replicate
@@ -106,6 +123,7 @@ def make_train_step(
         prev_delta = replicate(mesh, prev_delta)
         return donate(params, prev_delta, inputs, gts)
 
+    _STEP_CACHE[key] = sharded_step
     return sharded_step
 
 
@@ -120,6 +138,10 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callab
     epochs and keeps parameters on-device throughout. ``val_errs[k]`` is
     the post-update validation squared error when ``do_val[k]`` else -1.
     """
+    key = _cache_key("multi", cfg, num_chunks, mesh)
+    if key in _STEP_CACHE:
+        return _STEP_CACHE[key]
+
     lrs = tuple(cfg.learning_rates)
     momentum, wd = cfg.momentum, cfg.weight_decay
 
@@ -150,6 +172,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callab
 
     jitted = jax.jit(step, donate_argnums=(0, 1))
     if mesh is None:
+        _STEP_CACHE[key] = jitted
         return jitted
 
     from ..parallel.data_parallel import replicate, shard_batch
@@ -163,6 +186,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callab
             train_idx, val_idx, do_val,
         )
 
+    _STEP_CACHE[key] = sharded
     return sharded
 
 

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark matrix: one measurement per BASELINE.json config.
+
+Runs the five configurations named in BASELINE.json and prints one JSON
+line each (plus a summary table):
+
+1. SRCNN 9-1-5 single-image luma inference (example-config shapes)
+2. SRCNN 9-5-5 inference on a 2x-upscaled 1080p image
+3. 100-epoch training run (SGD+momentum+weight-decay)
+4. batched training with the on-device-degraded input pipeline
+5. waifu2x-style 7-layer full-RGB upscaling
+
+Methodology matches bench.py: dependency-chained ``lax.scan`` with a
+forced host readback (this setup pipelines dispatch and does not
+reliably block on small outputs). Run on the real chip; takes a few
+minutes of compiles on first run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _chained_image_bench(pipeline, img, iters=8):
+    import jax
+
+    @jax.jit
+    def chained(c):
+        def body(c, _):
+            y = pipeline(c)
+            return c.at[0, 0, 0].set(y[0, 0, 0]), ()
+
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return c
+
+    r = chained(img)
+    _ = np.asarray(r[0, 0, 0])
+    t0 = time.perf_counter()
+    r = chained(img)
+    _ = np.asarray(r[0, 0, 0])
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(name, value, unit, extra=""):
+    print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit}))
+    if extra:
+        print(f"#   {extra}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_sr_tpu.models import forward
+    from cnn_sr_tpu.ops.color import extract_luma, subtract_mean, swap_luma, swap_rgb
+    from cnn_sr_tpu.ops.pallas_fused import fused_forward
+    from cnn_sr_tpu.ops.resize import degrade, upscale_rgba
+    from cnn_sr_tpu.training.samples import SampleSet
+    from cnn_sr_tpu.training.trainer import init_train_state, train_loop
+    from cnn_sr_tpu.utils.config import parse_config
+    from cnn_sr_tpu.utils.params_io import random_parameters
+
+    rng = np.random.default_rng(0)
+
+    def classic_cfg(n1, n2, f1, f2, f3):
+        return parse_config({
+            "n1": n1, "n2": n2, "f1": f1, "f2": f2, "f3": f3,
+            "momentum": 0.9, "weight_decay_parameter": 0.0001,
+            "learning_rates": [1e-4, 1e-4, 1e-5],
+            **{f"parameters_distribution_{i}": {
+                "mean_w": 0.0, "mean_b": 0.0,
+                "std_deviation_w": 0.005, "std_deviation_b": 0.0,
+            } for i in (1, 2, 3)},
+        })
+
+    def luma_pipeline(params, use_pallas):
+        def run(img):
+            luma = extract_luma(img, normalize=True)
+            luma0, _ = subtract_mean(luma)
+            if use_pallas:
+                y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+            else:
+                y = forward(params, luma0[None, ..., None])[0, ..., 0]
+            return swap_luma(img, y)
+        return run
+
+    def jparams(cfg, seed=0):
+        p = random_parameters(cfg.layer_specs(), cfg.distributions, seed=seed)
+        return [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in p]
+
+    # --- 1: SRCNN 9-1-5 single-image luma inference (1080p) ---
+    cfg = classic_cfg(64, 32, 9, 1, 5)
+    img = jnp.asarray(rng.integers(0, 256, (1080, 1920, 4), dtype=np.uint8))
+    dt = _chained_image_bench(luma_pipeline(jparams(cfg), True), img)
+    _emit("1_srcnn_9-1-5_1080p_inference", 1080 * 1920 / dt / 1e6, "MPix/s")
+
+    # --- 2: SRCNN 9-5-5 inference on a 2x-upscaled 1080p frame ---
+    cfg = classic_cfg(64, 32, 9, 5, 5)
+    small = jnp.asarray(rng.integers(0, 256, (540, 960, 4), dtype=np.uint8))
+    params = jparams(cfg)
+    pipe = luma_pipeline(params, True)
+
+    def scaled_pipe(img_small):
+        big = upscale_rgba(img_small, 2.0)
+        return pipe(big)
+
+    dt = _chained_image_bench(scaled_pipe, small)
+    _emit("2_srcnn_9-5-5_2x-upscaled-1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
+          "includes the fused on-device 2x bicubic pre-upscale")
+
+    # --- 3: 100-epoch training run (reference 36-sample 128^2 workload) ---
+    cfg = classic_cfg(64, 32, 9, 1, 5)
+    S, N = 36, 128
+    ins = rng.standard_normal((S, N, N, 1)).astype(np.float32)
+    gts = rng.uniform(0, 1, (S, N, N, 1)).astype(np.float32)
+    samples = SampleSet(input_luma=ins, expected_luma=gts, width=N, height=N)
+    state = init_train_state(cfg, seed=0)
+    train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
+               epochs_per_dispatch=25, seed=0, log=lambda *a: None)  # warmup
+    t0 = time.perf_counter()
+    train_loop(cfg, samples, state, epochs=100, validation_cadence=25,
+               epochs_per_dispatch=25, seed=1, log=lambda *a: None)
+    dt = (time.perf_counter() - t0) / 100
+    _emit("3_train_100_epochs_9-1-5", 1 / dt, "epochs/s",
+          f"{dt * 1000:.1f} ms/epoch; reference: 236 ms/epoch (4.2 epochs/s)")
+
+    # --- 4: batched training with on-device-degraded inputs ---
+    gts4 = jnp.asarray(rng.uniform(0, 1, (S, N, N)).astype(np.float32))
+    degrade_batch = jax.jit(jax.vmap(lambda g: degrade(g, 2.0)))
+    t0 = time.perf_counter()
+    ins4 = np.asarray(degrade_batch(gts4))
+    prep_dt = time.perf_counter() - t0
+    ins4 = ins4 - ins4.mean(axis=(1, 2), keepdims=True)
+    samples4 = SampleSet(input_luma=ins4[..., None].astype(np.float32),
+                         expected_luma=np.asarray(gts4)[..., None],
+                         width=N, height=N)
+    state = init_train_state(cfg, seed=0)
+    train_loop(cfg, samples4, state, epochs=25, validation_cadence=25,
+               epochs_per_dispatch=25, seed=0, log=lambda *a: None)
+    t0 = time.perf_counter()
+    train_loop(cfg, samples4, state, epochs=100, validation_cadence=25,
+               epochs_per_dispatch=25, seed=1, log=lambda *a: None)
+    dt = (time.perf_counter() - t0) / 100
+    _emit("4_train_100_epochs_fused_input_pipeline", 1 / dt, "epochs/s",
+          f"on-device degradation of the whole set took {prep_dt * 1000:.0f} ms")
+
+    # --- 5: waifu2x-style 7-layer RGB upscaling (1080p) ---
+    cfg7 = parse_config(json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "waifu2x_7layer_rgb.json"))))
+    params7 = jparams(cfg7)
+
+    def rgb_pipe(img):
+        rgb = img[..., :3].astype(jnp.float32) / 255.0
+        mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
+        y = forward(params7, (rgb - mean)[None])[0]
+        return swap_rgb(img, y)
+
+    dt = _chained_image_bench(rgb_pipe, img, iters=4)
+    _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
+          "XLA conv path (no Pallas fast path for n_out=3 yet)")
+
+
+if __name__ == "__main__":
+    main()
