@@ -23,9 +23,11 @@ bfloat16 and accumulated in float32:
 * per grid step, one aligned DMA pulls a ``(tile + halo)`` window of the
   layer-1 activation (lane dim = channels padded to 128 — physically
   free, HBM tiles pad lanes anyway; the kernel slices the real C back);
-* middle layers: per-dy im2col — f column-shifted channel blocks stored
-  into a bf16 patch scratch, then ``(M, f·k) @ (f·k, n)`` bf16 MXU
-  matmuls accumulated into a f32 scratch via ``fori_loop``;
+* middle layers: shared-patch im2col — the f column-shifted channel
+  blocks are stored ONCE into an extended (oh+f−1)-row bf16 patch
+  scratch (patches for kernel row dy+1 are a one-row shift of dy's),
+  then f ``(M, f·k) @ (f·k, n)`` bf16 MXU matmuls over dynamic row
+  slices accumulate into a f32 scratch via ``fori_loop``;
 * the last layer (n_out = 1) would waste 127/128 MXU lanes, so patches
   are multiplied by the broadcast weight row and lane-reduced on the
   VPU in f32.
