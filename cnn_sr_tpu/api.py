@@ -37,8 +37,8 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False):
     return swap_luma(rgba, y)
 
 
-@jax.jit
-def _upscale_rgb_jit(params, rgba):
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _upscale_rgb_jit(params, rgba, use_pallas: bool = False):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), full-RGB model
     (extended waifu2x-style variant)."""
     rgb = rgba[..., :3].astype(jnp.float32) / 255.0
@@ -46,7 +46,12 @@ def _upscale_rgb_jit(params, rgba):
     # path, the net is trained against raw 0..1 targets and outputs
     # absolute intensities (samples.load_sample_set uses the same rule)
     mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
-    y = forward(params, (rgb - mean)[None])[0]
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        y = fused_forward(params, (rgb - mean)[None])[0]
+    else:
+        y = forward(params, (rgb - mean)[None])[0]
     return swap_rgb(rgba, y)
 
 
@@ -159,7 +164,7 @@ def upscale_image(
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas)
     else:
-        out = _upscale_rgb_jit(params_j, img)
+        out = _upscale_rgb_jit(params_j, img, use_pallas=use_pallas)
     return np.asarray(out)
 
 
@@ -192,5 +197,8 @@ def upscale_batch(
     if cfg.channels == 1:
         out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas)
     else:
-        out = jnp.stack([_upscale_rgb_jit(params_j, img) for img in imgs])
+        out = jnp.stack([
+            _upscale_rgb_jit(params_j, img, use_pallas=use_pallas)
+            for img in imgs
+        ])
     return np.asarray(out)

@@ -60,7 +60,8 @@ from ..models.fast_forward import _conv_first
 )
 def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16):
-    """Run layers 2..L over a (H, W, k) activation → (H−s, W−s) float32.
+    """Run layers 2..L over a (H, W, k) activation → n_out planes of
+    (H−s, W−s) float32 (stacked by the caller).
 
     ``wbs``: flat [w2(f2, f2·k2, n2), b2, ..., wL(fL, fL·kL), bL]
     pre-reshaped weights in ``dtype`` (biases f32).
@@ -70,8 +71,8 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
     for li in range(n_layers):
         w = wbs[2 * li]
         if li == n_layers - 1:
-            f = int(round(w.shape[0] ** 0.5))  # wL is (f², 1, k)
-            fs.append(f); ks.append(w.shape[2]); ns.append(1)
+            f = int(round(w.shape[0] ** 0.5))  # wL is (f², n_out, k)
+            fs.append(f); ks.append(w.shape[2]); ns.append(w.shape[1])
         else:
             f = w.shape[0]
             fs.append(f); ks.append(w.shape[1] // f); ns.append(w.shape[2])
@@ -101,10 +102,12 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         hs.append(hs[-1] - s)
         ws.append(ws[-1] - s)
 
+    n_out = ns[-1]
+
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
-        out_ref = refs[2 * n_layers]
-        scratch = refs[2 * n_layers + 1 :]
+        out_refs = refs[2 * n_layers : 2 * n_layers + n_out]
+        scratch = refs[2 * n_layers + n_out :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
         acc_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
@@ -179,7 +182,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         # VMEM; instead each 8-row output block loads its (8+f−1)-row band
         # ONCE as a value and applies all f² taps as shifted in-register
         # FMAs, with a single lane reduction at the end.
-        fL, kL = fs[-1], ks[-1]
+        fL, kL, nL = fs[-1], ks[-1], ns[-1]
         owL = ws[-1]
         src = a_vmem.at[slot] if n_layers == 1 else act_refs[n_layers - 2]
         wL_ref, bL_ref = wrefs[-2], wrefs[-1]
@@ -187,17 +190,21 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
 
         def last_rowblock(rb, _):
             band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1, 0:kL]
-            acc3 = jnp.zeros((RB, owL, kL), jnp.float32)
-            for dy in range(fL):
-                for dx in range(fL):
-                    # wL is (f², 1, k): static leading index → (1, k) row
-                    acc3 = acc3 + (
-                        band[dy : dy + RB, dx : dx + owL, :]
-                        * wL_ref[dy * fL + dx].astype(jnp.float32)
-                    )
-            out_ref[pl.ds(rb * RB, RB), :] = (
-                jnp.sum(acc3, axis=-1) + bL_ref[0]
-            )
+            # one 2D output ref per channel (a lane-index store into one
+            # (th, tw, n_out) ref would need unsupported 1-lane writes);
+            # the band value is loaded once and reused by every channel
+            for ch in range(nL):
+                acc3 = jnp.zeros((RB, owL, kL), jnp.float32)
+                for dy in range(fL):
+                    for dx in range(fL):
+                        # wL is (f², n_out, k): [tap][ch:ch+1] → (1, k) row
+                        acc3 = acc3 + (
+                            band[dy : dy + RB, dx : dx + owL, :]
+                            * wL_ref[dy * fL + dx][ch : ch + 1, :].astype(jnp.float32)
+                        )
+                out_refs[ch][pl.ds(rb * RB, RB), :] = (
+                    jnp.sum(acc3, axis=-1) + bL_ref[ch]
+                )
             return 0
 
         jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
@@ -226,19 +233,23 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers),
-        out_specs=pl.BlockSpec(
-            (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (grid[0] * tile_h, grid[1] * tile_w), jnp.float32
-        ),
+        out_specs=[
+            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0] * tile_h, grid[1] * tile_w),
+                                 jnp.float32)
+        ] * n_out,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ap, *wbs)
-    return out[:out_h, :out_w]
+    if n_out == 1:
+        return out[0][:out_h, :out_w][..., None]
+    return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
 
 
 def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
@@ -250,9 +261,9 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
         if li == n_layers - 1:
-            # (f, f, k, 1) → (f², 1, k), kept f32 (the last layer runs on
-            # the VPU in f32; rows are indexed statically per tap)
-            wbs.append(w.reshape(f * f, k)[:, None, :])
+            # (f, f, k, n) → (f², n, k), kept f32 (the last layer runs on
+            # the VPU in f32; rows are indexed statically per tap/channel)
+            wbs.append(w.reshape(f * f, k, n).transpose(0, 2, 1))
         else:
             wbs.append(w.reshape(f, f * k, n).astype(dtype))
         wbs.append(jnp.asarray(l["b"], jnp.float32))
@@ -261,13 +272,14 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
 
 def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
                   dtype=jnp.bfloat16):
-    """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, 1).
+    """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     Layer 1 = XLA im2col matmul; layers 2..L = one Pallas kernel with
     VMEM-resident patches/activations, streamed in ``dtype`` (default
     bf16) with f32 accumulation. Drop-in for ``models.forward`` on
-    models with a single output channel, ≥3 layers, a few-channel first
-    layer and 8-multiple middle channels; falls back to XLA otherwise.
+    models with ≤4 output channels (luma or RGB), ≥3 layers, a
+    few-channel first layer and 8-multiple middle channels; falls back
+    to XLA otherwise.
     """
     from ..models import forward as _xla_forward
 
@@ -277,7 +289,7 @@ def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
     shrink = sum(l["w"].shape[0] - 1 for l in params)
     mids_ok = all(l["w"].shape[2] % 8 == 0 for l in params[1:])
     if (
-        params[-1]["w"].shape[3] != 1
+        params[-1]["w"].shape[3] > 4
         or len(params) < 3
         or params[0]["w"].shape[2] > 4
         or not mids_ok
@@ -297,4 +309,4 @@ def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
                            interpret=interpret, dtype=dtype)
         for i in range(x.shape[0])
     ]
-    return jnp.stack(outs)[..., None]
+    return jnp.stack(outs)

@@ -70,3 +70,16 @@ def test_fallback_paths():
         np.asarray(fused_forward(params, x)), np.asarray(forward(params, x)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_rgb_output():
+    """n_out=3 (RGB model family) through the fused kernel."""
+    rng = np.random.default_rng(4)
+    params = _params(rng, [(3, 3, 8), (3, 8, 8), (3, 8, 16), (3, 16, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 40, 140, 3)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+    yb = fused_forward(params, x, tile_h=16, tile_w=128)
+    assert float(jnp.abs(yb - y_ref).max()) < 0.1
