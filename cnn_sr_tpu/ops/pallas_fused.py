@@ -270,7 +270,7 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
     return wbs
 
 
-def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
+def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
@@ -283,6 +283,13 @@ def fused_forward(params, x, tile_h: int = 64, tile_w: int = 384,
     """
     from ..models import forward as _xla_forward
 
+    # default tiles: big for shallow stacks (best measured: 64x384 on
+    # SRCNN 9-5-5), small for deep stacks — the Mosaic remote compiler
+    # crashes on the larger per-layer scratch IR of deep models
+    if tile_h <= 0:
+        tile_h = 64 if len(params) <= 4 else 32
+    if tile_w <= 0:
+        tile_w = 384 if len(params) <= 4 else 128
     tile_h = max(8, tile_h // 8 * 8)
     tile_w = max(16, tile_w // 16 * 16)  # bf16 window offsets need 16-alignment
 

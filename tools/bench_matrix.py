@@ -160,12 +160,12 @@ def main():
     def rgb_pipe(img):
         rgb = img[..., :3].astype(jnp.float32) / 255.0
         mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
-        y = forward(params7, (rgb - mean)[None])[0]
+        y = fused_forward(params7, (rgb - mean)[None])[0]
         return swap_rgb(img, y)
 
     dt = _chained_image_bench(rgb_pipe, img, iters=4)
     _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
-          "XLA conv path (no Pallas fast path for n_out=3 yet)")
+          "fused Pallas path (XLA path: ~20.5 MPix/s)")
 
 
 if __name__ == "__main__":
