@@ -23,11 +23,15 @@ bfloat16 and accumulated in float32:
 * per grid step, one aligned DMA pulls a ``(tile + halo)`` window of the
   layer-1 activation (lane dim = channels padded to 128 — physically
   free, HBM tiles pad lanes anyway; the kernel slices the real C back);
-* middle layers: shared-patch im2col — the f column-shifted channel
-  blocks are stored ONCE into an extended (oh+f−1)-row bf16 patch
-  scratch (patches for kernel row dy+1 are a one-row shift of dy's),
-  then f ``(M, f·k) @ (f·k, n)`` bf16 MXU matmuls over dynamic row
-  slices accumulate into a f32 scratch via ``fori_loop``;
+* middle layers: shared-patch im2col + output-stationary shift-add —
+  the f column-shifted channel blocks are stored ONCE into an extended
+  (oh+f−1)-row bf16 patch scratch (patches for kernel row dy+1 are a
+  one-row shift of dy's), then ONE ``(ph·ow, f·k) @ (f·k, f·n)`` bf16
+  MXU matmul computes every dy-phase at once (weights for all f kernel
+  rows packed along N), and the f phase planes are combined by static
+  shifted adds fused into the bias+ReLU. vs the earlier f separate
+  ``@ (f·k, n)`` matmuls this reads patches once instead of f times and
+  runs ⌈f·n/128⌉ MXU column passes instead of f at n/128 utilization;
 * the last layer (n_out = 1) would waste 127/128 MXU lanes, so patches
   are multiplied by the broadcast weight row and lane-reduced on the
   VPU in f32.
@@ -54,28 +58,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.fast_forward import _conv_first
 
+# M-chunk (in patch rows) of the middle layers' all-phase matmul; bounds
+# the per-dot operand/result stack transients (scoped-VMEM limited)
+_MM_CHUNK_ROWS = 32
+
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "tile_w", "interpret", "dtype")
+    jax.jit, static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype")
 )
-def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
+def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
-    ``wbs``: flat [w2(f2, f2·k2, n2), b2, ..., wL(fL, fL·kL), bL]
-    pre-reshaped weights in ``dtype`` (biases f32).
+    ``wbs``: flat [w2, b2, ..., wL, bL] pre-reshaped weights
+    (see ``_prepare_tail_weights``) in ``dtype`` (biases f32);
+    ``dims``: static ((f, k, n), ...) per tail layer.
     """
     n_layers = len(wbs) // 2
-    fs, ks, ns = [], [], []
-    for li in range(n_layers):
-        w = wbs[2 * li]
-        if li == n_layers - 1:
-            f = int(round(w.shape[0] ** 0.5))  # wL is (f², n_out, k)
-            fs.append(f); ks.append(w.shape[2]); ns.append(w.shape[1])
-        else:
-            f = w.shape[0]
-            fs.append(f); ks.append(w.shape[1] // f); ns.append(w.shape[2])
+    fs = [d[0] for d in dims]
+    ks = [d[1] for d in dims]
+    ns = [d[2] for d in dims]
     shrinks = [f - 1 for f in fs]
     shrink = sum(shrinks)
 
@@ -87,7 +90,17 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
     # H is untiled (any offset). Channel padding is physically free.
     sub_align = 16 if dtype == jnp.bfloat16 else 8  # packed-dtype W tiling
     win_h = tile_h + shrink
-    win_w = -(-(tile_w + shrink) // sub_align) * sub_align
+    # Per-layer buffer widths, computed back-to-front and padded to
+    # sublane (8) multiples: an 8-aligned width makes the im2col collapse
+    # (ph, ow, f·k) → (ph·ow, f·k) a free relayout-less view (each 2D
+    # plane fills whole sublane tiles) instead of a tile-shuffling copy
+    # that blew the scoped-VMEM budget. The few garbage right-edge
+    # columns compute throwaway outputs sliced off by the next layer.
+    ws = [tile_w]
+    for s in reversed(shrinks):
+        ws.append(-(-(ws[-1] + s) // 8) * 8)
+    ws.reverse()
+    win_w = -(-ws[0] // sub_align) * sub_align
     c_pad = -(-c_in // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
@@ -97,10 +110,9 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
     ).astype(dtype)
 
-    hs, ws = [win_h], [tile_w + shrink]
+    hs = [win_h]
     for s in shrinks:
         hs.append(hs[-1] - s)
-        ws.append(ws[-1] - s)
 
     n_out = ns[-1]
 
@@ -110,7 +122,7 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch = refs[2 * n_layers + n_out :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
-        acc_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
+        z_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
         p_refs = scratch[2 + 2 * (n_layers - 1) :]
 
         i = pl.program_id(0)
@@ -143,17 +155,19 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
 
         get_dma(slot, g).wait()
 
-        # ---- middle layers: shared-patch im2col bf16 MXU matmuls ----
+        # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
-        # patch buffer of height oh+f−1 is built (f static stores) and all
-        # f matmuls read dynamic row-slices of it — cutting patch-store
-        # traffic f× vs rebuilding per dy (measured 30→22.6 ms for the
-        # DMA+conv2 scope on 1080p).
+        # patch buffer of height ph=oh+f−1 is built (f static stores).
+        # ONE (ph·ow, f·k) @ (f·k, f·n) matmul then produces Z where
+        # Z[r, dy·n:(dy+1)·n] is patch-row r's contribution to output row
+        # r−dy; out[i] = Σ_dy Z[i+dy, dy-block] — f static shifted adds
+        # fused into the bias+ReLU. Patches feed the MXU once (vs f×) and
+        # the matmul runs at f·n lanes wide (vs f dispatches n wide).
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
-            acc = acc_refs[li]
+            z_ref = z_refs[li]
             p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
 
@@ -162,20 +176,24 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
                 p_ref[:, :, dx * k : (dx + 1) * k] = src[
                     0:ph, dx : dx + ow, 0:k
                 ].astype(dtype)
-            acc[...] = jnp.zeros((oh, ow, n), jnp.float32)
-
-            def mid_body(dy, _, f=f, k=k, n=n, oh=oh, ow=ow,
-                         acc=acc, p_ref=p_ref, w_ref=w_ref):
-                y = jnp.dot(
-                    p_ref[pl.ds(dy, oh), :, :].reshape(oh * ow, f * k),
-                    w_ref[dy],
+            # chunk the all-phase matmul over M (static 32-row slabs of
+            # the 8-aligned patch buffer): one full-height dot's operand
+            # + result transients alone blow the scoped-VMEM budget at
+            # 1080p tiles, while 32·ow-row dots keep the MXU saturated
+            # at ~8 MB of stack
+            ch = _MM_CHUNK_ROWS
+            for c0 in range(0, oh + f - 1, ch):
+                ce = min(c0 + ch, ph)
+                z_ref[c0:ce] = jnp.dot(
+                    p_ref[c0:ce].reshape((ce - c0) * ow, f * k),
+                    w_ref[...],
                     preferred_element_type=jnp.float32,
-                )
-                acc[...] = acc[...] + y.reshape(oh, ow, n)
-                return 0
+                ).reshape(ce - c0, ow, f * n)
 
-            jax.lax.fori_loop(0, f, mid_body, 0)
-            act_refs[li][...] = jnp.maximum(acc[...] + b_ref[...], 0.0)
+            val = z_ref[0:oh, :, 0:n]
+            for dy in range(1, f):
+                val = val + z_ref[dy : dy + oh, :, dy * n : (dy + 1) * n]
+            act_refs[li][...] = jnp.maximum(val + b_ref[...], 0.0)
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -219,9 +237,12 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
         )
-    for li in range(n_layers - 1):  # f32 accumulators of middle layers
+    for li in range(n_layers - 1):  # f32 all-phase matmul outputs (Z)
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
+            pltpu.VMEM(
+                (hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
+                jnp.float32,
+            )
         )
     for li in range(n_layers - 1):  # extended patch buffers (height oh+f−1)
         scratch_shapes.append(
@@ -253,8 +274,9 @@ def _fused_tail_single(wbs, a, tile_h: int, tile_w: int,
 
 
 def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
-    """Reshape layers 2..L from HWIO (f, f, k, n): middle → (f, f·k, n);
-    last → (f, f·k). Weights in ``dtype``, biases f32."""
+    """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
+    (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n);
+    last → (f², n, k). Weights in ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
@@ -265,7 +287,10 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
             # the VPU in f32; rows are indexed statically per tap/channel)
             wbs.append(w.reshape(f * f, k, n).transpose(0, 2, 1))
         else:
-            wbs.append(w.reshape(f, f * k, n).astype(dtype))
+            wbs.append(
+                w.reshape(f, f * k, n).transpose(1, 0, 2)
+                .reshape(f * k, f * n).astype(dtype)
+            )
         wbs.append(jnp.asarray(l["b"], jnp.float32))
     return wbs
 
@@ -283,15 +308,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     """
     from ..models import forward as _xla_forward
 
-    # default tiles: big for shallow stacks (best measured: 64x384 on
-    # SRCNN 9-5-5), small for deep stacks — the Mosaic remote compiler
+    # default tiles: best measured 64x256 on SRCNN 9-5-5 (width bounded
+    # by scoped VMEM: the all-phase Z + patch scratch at lane-padded
+    # widths); small tiles for deep stacks — the Mosaic remote compiler
     # crashes on the larger per-layer scratch IR of deep models
     if tile_h <= 0:
         tile_h = 64 if len(params) <= 4 else 32
     if tile_w <= 0:
-        tile_w = 384 if len(params) <= 4 else 128
+        tile_w = 256 if len(params) <= 4 else 128
     tile_h = max(8, tile_h // 8 * 8)
-    tile_w = max(16, tile_w // 16 * 16)  # bf16 window offsets need 16-alignment
+    tile_w = max(128, tile_w // 128 * 128)  # out block lane dim: 128-multiple
 
     shrink = sum(l["w"].shape[0] - 1 for l in params)
     mids_ok = all(l["w"].shape[2] % 8 == 0 for l in params[1:])
@@ -310,9 +336,13 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     wbs = _prepare_tail_weights(params[1:], dtype)
     interpret = jax.default_backend() == "cpu"  # pallas needs interpret mode off-TPU
 
+    dims = tuple(
+        (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
+        for l in params[1:]
+    )
     a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
     outs = [
-        _fused_tail_single(wbs, a1[i], tile_h, tile_w,
+        _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
                            interpret=interpret, dtype=dtype)
         for i in range(x.shape[0])
     ]
