@@ -34,34 +34,43 @@ def cfg_path(tmp_path):
     return str(p)
 
 
-def test_serve_upscale_roundtrip(cfg_path):
+def _start_server(cfg_path, **kw):
     import serve
-    from http.server import ThreadingHTTPServer
 
-    from cnn_sr_tpu.training.trainer import init_train_state
-    from cnn_sr_tpu.utils.config import read_config
-
-    cfg = read_config(cfg_path)
-    state = init_train_state(cfg, seed=0)
-    server = ThreadingHTTPServer(
-        ("127.0.0.1", 0), serve.build_handler(cfg, state.params, False, 1.0)
-    )
-    port = server.server_address[1]
+    slots = {"default": serve.load_slot(cfg_path, seed=0)}
+    extra = kw.pop("extra_slots", {})
+    for name, path in extra.items():
+        slots[name] = serve.load_slot(path, seed=1)
+    server, worker = serve.make_server(slots, "127.0.0.1", 0, **kw)
+    worker.start()
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    return server, worker, server.server_address[1]
+
+
+def _png_bytes(img):
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _post_upscale(port, body, query=""):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/upscale{query}", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        return np.asarray(Image.open(io.BytesIO(r.read())))
+
+
+def test_serve_upscale_roundtrip(cfg_path):
+    server, worker, port = _start_server(cfg_path)
     try:
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
             assert r.read() == b"ok\n"
 
         rng = np.random.default_rng(0)
         img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img, "RGB").save(buf, "PNG")
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/upscale", data=buf.getvalue(), method="POST"
-        )
-        with urllib.request.urlopen(req) as r:
-            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        out = _post_upscale(port, _png_bytes(img))
         assert out.shape == (20, 24, 3)
         np.testing.assert_array_equal(out[0, 0], img[0, 0])  # border passthrough
 
@@ -74,6 +83,74 @@ def test_serve_upscale_roundtrip(cfg_path):
         assert exc.value.code == 400
     finally:
         server.shutdown()
+        worker.stop()
+
+
+def test_serve_model_slots_and_stats(cfg_path, tmp_path):
+    cfg2 = dict(CFG, n1=2, f1=5)
+    p2 = tmp_path / "cfg2.json"
+    p2.write_text(json.dumps(cfg2))
+    server, worker, port = _start_server(
+        cfg_path, extra_slots={"alt": str(p2)})
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/models") as r:
+            models = json.load(r)["models"]
+        assert set(models) == {"default", "alt"}
+        assert models["alt"]["layers"][0]["f"] == 5
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = _post_upscale(port, _png_bytes(img), query="?model=alt")
+        assert out.shape == (24, 24, 3)
+
+        # unknown model → 404 listing the slots
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/upscale?model=nope",
+            data=_png_bytes(img), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.load(r)
+        assert stats["ok"] >= 1 and stats["per_model"]["alt"] >= 1
+    finally:
+        server.shutdown()
+        worker.stop()
+
+
+def test_serve_batching_queue(cfg_path):
+    # a long batch window + concurrent same-shape posts → one fused batch
+    server, worker, port = _start_server(
+        cfg_path, batch_wait_ms=300.0, max_batch=8)
+    try:
+        rng = np.random.default_rng(2)
+        imgs = [rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+                for _ in range(4)]
+        outs = [None] * 4
+        errs = []
+
+        def post(i):
+            try:
+                outs[i] = _post_upscale(port, _png_bytes(imgs[i]))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs
+        for img, out in zip(imgs, outs):
+            assert out.shape == (20, 20, 3)
+            np.testing.assert_array_equal(out[0, 0], img[0, 0])
+        stats = worker.snapshot()
+        assert stats["ok"] == 4
+        assert stats["batched_jobs"] >= 2  # at least one fused batch ran
+    finally:
+        server.shutdown()
+        worker.stop()
 
 
 def test_evaluate_tool(cfg_path, tmp_path, capsys):

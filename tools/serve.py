@@ -1,23 +1,44 @@
 #!/usr/bin/env python
-"""Minimal HTTP upscaling service (stdlib only).
+"""Production-shaped HTTP upscaling service (stdlib only).
 
 A serving front-end for the framework (no reference analog — the
-reference is batch-CLI only): POST an image, receive the upscaled PNG.
-The model compiles once per input shape and stays resident on device;
-same-shaped requests reuse the compiled program.
+reference is batch-CLI only, Main_cl.cpp):
 
-    python tools/serve.py -c cfg.json [--port 8200] [--pallas] [--scale 2]
+* **multiple model slots**: ``-c cfg.json`` registers the ``default``
+  slot; repeatable ``--model name=cfg.json`` adds named slots selected
+  per request with ``POST /upscale?model=name``.
+* **device-owner worker + batching queue**: exactly one thread talks to
+  the accelerator (concurrent TPU programs corrupt each other — see
+  docs/BENCHMARKS.md). HTTP handler threads decode/encode images and
+  enqueue jobs; the worker drains the queue, groups same-model
+  same-shape luma jobs that arrive within ``--batch-wait-ms`` into ONE
+  batched device program (``api.upscale_batch`` — numerically identical
+  to the single-image path), and runs the rest as singles with
+  ``--bucket`` shape-bucketed compile reuse.
+* **observability**: ``GET /models`` (slots + per-slot request counts),
+  ``GET /stats`` (queue depth, batch histogram, error counts),
+  ``GET /healthz``.
+
+    python tools/serve.py -c cfg.json [--model anime=waifu.json ...]
+        [--port 8200] [--pallas] [--scale 2] [--max-batch 8]
+        [--batch-wait-ms 3] [--bucket 64]
 
     curl -s --data-binary @photo.png localhost:8200/upscale > photo_sr.png
-    curl -s localhost:8200/healthz
+    curl -s --data-binary @a.png 'localhost:8200/upscale?model=anime' > b.png
+    curl -s localhost:8200/stats
 """
 
 from __future__ import annotations
 
 import argparse
 import io
+import json
 import os
+import queue
 import sys
+import threading
+import time
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -31,88 +52,291 @@ if _platform:
     jax.config.update("jax_platforms", _platform)
 
 
-def build_handler(cfg, params, use_pallas: bool, scale: float):
-    from PIL import Image
+class _Job:
+    """One enqueued upscale request; the handler thread blocks on
+    ``done`` until the device worker fills ``result`` or ``error``."""
 
-    from cnn_sr_tpu.api import upscale_image
+    __slots__ = ("model", "rgba", "done", "result", "error")
+
+    def __init__(self, model: str, rgba: np.ndarray):
+        self.model = model
+        self.rgba = rgba
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DeviceWorker(threading.Thread):
+    """The single thread that owns the accelerator.
+
+    Pulls jobs from the queue; after the first job of a round, waits up
+    to ``batch_wait_ms`` for more (max ``max_batch``), groups them by
+    (model, image shape) and dispatches each group as one batched
+    program where possible.
+    """
+
+    def __init__(self, slots: dict, use_pallas: bool = False,
+                 scale: float = 1.0, max_batch: int = 8,
+                 batch_wait_ms: float = 3.0, bucket: int = 0):
+        super().__init__(daemon=True, name="device-worker")
+        self.slots = slots
+        self.use_pallas = use_pallas
+        self.scale = scale
+        self.max_batch = max(1, max_batch)
+        self.batch_wait_s = max(0.0, batch_wait_ms) / 1e3
+        self.bucket = bucket
+        self.queue: "queue.Queue[_Job | None]" = queue.Queue()
+        self._stopping = False
+        self.lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "ok": 0, "errors": 0,
+            "rounds": 0, "batched_jobs": 0, "max_batch_seen": 0,
+            "per_model": {name: 0 for name in slots},
+        }
+
+    def submit(self, job: _Job) -> None:
+        with self.lock:
+            self.stats["requests"] += 1
+            if job.model in self.stats["per_model"]:
+                self.stats["per_model"][job.model] += 1
+        self.queue.put(job)
+
+    def stop(self) -> None:
+        self._stopping = True
+        self.queue.put(None)
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            s = json.loads(json.dumps(self.stats))
+        s["queue_depth"] = self.queue.qsize()
+        s["models"] = sorted(self.slots)
+        return s
+
+    # ---- worker internals ----
+
+    def run(self) -> None:
+        while not self._stopping:
+            job = self.queue.get()
+            if job is None:
+                break
+            batch = [job]
+            deadline = time.monotonic() + self.batch_wait_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._stopping = True
+                    break
+                batch.append(nxt)
+
+            groups: dict = {}
+            for j in batch:
+                groups.setdefault((j.model, j.rgba.shape), []).append(j)
+            for group in groups.values():
+                self._process_group(group)
+            with self.lock:
+                self.stats["rounds"] += 1
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(batch))
+
+    def _process_group(self, jobs) -> None:
+        from cnn_sr_tpu.api import upscale_batch, upscale_image
+
+        try:
+            slot = self.slots[jobs[0].model]
+            cfg, params = slot["cfg"], slot["params"]
+            rgbas = [self._pre_scale(j.rgba) for j in jobs]
+            if len(jobs) > 1 and cfg.channels == 1:
+                outs = upscale_batch(cfg, params, np.stack(rgbas),
+                                     use_pallas=self.use_pallas)
+                for j, out in zip(jobs, outs):
+                    j.result = np.asarray(out)
+                with self.lock:
+                    self.stats["batched_jobs"] += len(jobs)
+            else:
+                for j, rgba in zip(jobs, rgbas):
+                    j.result = upscale_image(
+                        cfg, params, rgba,
+                        use_pallas=self.use_pallas, bucket=self.bucket)
+            with self.lock:
+                self.stats["ok"] += len(jobs)
+        except Exception as e:  # noqa: BLE001 — reported per job to clients
+            for j in jobs:
+                j.error = e
+            with self.lock:
+                self.stats["errors"] += len(jobs)
+        finally:
+            for j in jobs:
+                j.done.set()
+
+    def _pre_scale(self, rgba: np.ndarray) -> np.ndarray:
+        if self.scale == 1.0:
+            return rgba
+        import jax.numpy as jnp
+
+        from cnn_sr_tpu.ops.resize import upscale_rgba
+
+        return np.asarray(upscale_rgba(jnp.asarray(rgba), self.scale))
+
+
+def build_handler(worker: DeviceWorker, timeout_s: float = 120.0):
+    from PIL import Image
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             print(f"[serve] {fmt % args}")
 
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, obj, code: int = 200) -> None:
+            self._reply(code, (json.dumps(obj) + "\n").encode(),
+                        "application/json")
+
         def do_GET(self):
-            if self.path == "/healthz":
-                body = b"ok\n"
-                self.send_response(200)
-                self.send_header("Content-Type", "text/plain")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/healthz":
+                self._reply(200, b"ok\n", "text/plain")
+            elif path == "/models":
+                snap = worker.snapshot()
+                self._reply_json({
+                    "models": {
+                        name: {
+                            "layers": [
+                                {"f": s.f, "n_in": s.n_in, "n_out": s.n_out}
+                                for s in slot["cfg"].layer_specs()
+                            ],
+                            "channels": slot["cfg"].channels,
+                            "requests": snap["per_model"].get(name, 0),
+                        }
+                        for name, slot in worker.slots.items()
+                    },
+                })
+            elif path == "/stats":
+                self._reply_json(worker.snapshot())
             else:
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path != "/upscale":
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path != "/upscale":
                 self.send_error(404)
+                return
+            model = urllib.parse.parse_qs(parsed.query).get(
+                "model", ["default"])[0]
+            if model not in worker.slots:
+                self._reply_json(
+                    {"error": f"unknown model {model!r}",
+                     "models": sorted(worker.slots)}, code=404)
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(length)
                 with Image.open(io.BytesIO(raw)) as im:
                     rgba = np.asarray(im.convert("RGBA"), dtype=np.uint8)
-                if scale != 1.0:
-                    import jax.numpy as jnp
+            except Exception as e:  # noqa: BLE001 — bad input is a client error
+                self._reply(400, f"error: {type(e).__name__}: {e}\n".encode(),
+                            "text/plain")
+                return
 
-                    from cnn_sr_tpu.ops.resize import upscale_rgba
-
-                    rgba = np.asarray(upscale_rgba(jnp.asarray(rgba), scale))
-                out = upscale_image(cfg, params, rgba, use_pallas=use_pallas)
-                buf = io.BytesIO()
-                Image.fromarray(out, "RGB").save(buf, "PNG")
-                body = buf.getvalue()
-                self.send_response(200)
-                self.send_header("Content-Type", "image/png")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-            except Exception as e:  # noqa: BLE001 — report errors to the client
-                msg = f"error: {type(e).__name__}: {e}\n".encode()
-                self.send_response(400)
-                self.send_header("Content-Type", "text/plain")
-                self.send_header("Content-Length", str(len(msg)))
-                self.end_headers()
-                self.wfile.write(msg)
+            job = _Job(model, rgba)
+            worker.submit(job)
+            if not job.done.wait(timeout_s) or job.error is not None:
+                err = job.error or TimeoutError("device worker timeout")
+                self._reply(
+                    500 if job.error is None or not isinstance(
+                        job.error, (ValueError, OSError)) else 400,
+                    f"error: {type(err).__name__}: {err}\n".encode(),
+                    "text/plain")
+                return
+            buf = io.BytesIO()
+            Image.fromarray(job.result, "RGB").save(buf, "PNG")
+            self._reply(200, buf.getvalue(), "image/png")
 
     return Handler
 
 
+def load_slot(config_path: str, seed=None) -> dict:
+    """Build one model slot: config + resident parameters (loaded from
+    the config's ``parameters_file`` when set, random-init otherwise)."""
+    from cnn_sr_tpu.training.trainer import init_train_state
+    from cnn_sr_tpu.utils.config import read_config
+
+    cfg = read_config(config_path)
+    state = init_train_state(cfg, seed=seed)
+    return {"cfg": cfg, "params": state.params}
+
+
+def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
+                use_pallas: bool = False, scale: float = 1.0,
+                max_batch: int = 8, batch_wait_ms: float = 3.0,
+                bucket: int = 0):
+    """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
+    worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
+                          max_batch=max_batch, batch_wait_ms=batch_wait_ms,
+                          bucket=bucket)
+    server = ThreadingHTTPServer((host, port), build_handler(worker))
+    return server, worker
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="HTTP upscaling service.")
-    p.add_argument("--config", "-c", required=True)
+    p.add_argument("--config", "-c",
+                   help="config for the 'default' model slot")
+    p.add_argument("--model", "-m", action="append", default=[],
+                   metavar="NAME=CONFIG",
+                   help="add a named model slot (repeatable)")
     p.add_argument("--port", type=int, default=8200)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="max requests fused into one device batch")
+    p.add_argument("--batch-wait-ms", type=float, default=3.0,
+                   help="how long the first request of a round waits "
+                        "for batch-mates")
+    p.add_argument("--bucket", type=int, default=64,
+                   help="pad single-image shapes to multiples of this "
+                        "for compile reuse (0 = exact shapes)")
     args = p.parse_args(argv)
 
-    from cnn_sr_tpu.training.trainer import init_train_state
-    from cnn_sr_tpu.utils.config import read_config
+    slots = {}
+    if args.config:
+        slots["default"] = load_slot(args.config, seed=args.seed)
+    for spec in args.model:
+        name, _, path = spec.partition("=")
+        if not path:
+            p.error(f"--model needs NAME=CONFIG, got {spec!r}")
+        slots[name] = load_slot(path, seed=args.seed)
+    if not slots:
+        p.error("register at least one model (-c and/or --model)")
+    for name, slot in slots.items():
+        print(f"[serve] model {name!r}:")
+        print(slot["cfg"])
 
-    cfg = read_config(args.config)
-    state = init_train_state(cfg, seed=args.seed)
-    print(cfg)
-
-    server = ThreadingHTTPServer(
-        (args.host, args.port),
-        build_handler(cfg, state.params, args.pallas, args.scale),
-    )
+    server, worker = make_server(
+        slots, args.host, args.port, use_pallas=args.pallas,
+        scale=args.scale, max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms, bucket=args.bucket)
+    worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
-          f"(POST /upscale, GET /healthz)")
+          f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        worker.stop()
     return 0
 
 
