@@ -52,6 +52,10 @@ def _try_load():
             lib.cnnsr_encode_png.argtypes = [
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
             lib.cnnsr_encode_png.restype = ctypes.c_int
+            lib.cnnsr_encode_jpeg.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.cnnsr_encode_jpeg.restype = ctypes.c_int
             lib.cnnsr_extract_luma.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int]
@@ -105,6 +109,16 @@ def encode_png(path: str, rgb: np.ndarray) -> None:
     arr = np.ascontiguousarray(rgb, dtype=np.uint8)
     h, w = arr.shape[:2]
     rc = lib.cnnsr_encode_png(path.encode(), arr.ctypes.data, w, h)
+    if rc != 0:
+        raise IOError(f"cannot write '{path}' (rc={rc})")
+
+
+def encode_jpeg(path: str, rgb: np.ndarray, quality: int = 92) -> None:
+    """Encode uint8 RGB (H, W, 3) as JPEG at the given quality."""
+    lib = _try_load()
+    arr = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    rc = lib.cnnsr_encode_jpeg(path.encode(), arr.ctypes.data, w, h, quality)
     if rc != 0:
         raise IOError(f"cannot write '{path}' (rc={rc})")
 

@@ -37,17 +37,21 @@ def load_image(path: str) -> np.ndarray:
 
 def write_image(path: str, rgb: np.ndarray) -> None:
     """Encode a uint8 (H, W, 3) array as PNG/JPEG by extension (native
-    libpng encoder for .png when built, PIL otherwise)."""
+    libpng/libjpeg encoders when built, PIL otherwise)."""
     arr = np.ascontiguousarray(rgb, dtype=np.uint8)
-    if path.lower().endswith(".png"):
-        try:
-            from .. import native
+    lower = path.lower()
+    try:
+        from .. import native
 
-            if native.available():
+        if native.available():
+            if lower.endswith(".png"):
                 native.encode_png(path, arr)
                 return
-        except (IOError, OSError):
-            pass
+            if lower.endswith((".jpg", ".jpeg")):
+                native.encode_jpeg(path, arr)
+                return
+    except (IOError, OSError):
+        pass
     Image.fromarray(arr, mode="RGB").save(path)
 
 

@@ -223,6 +223,42 @@ int cnnsr_encode_png(const char* path, const uint8_t* rgb, int w, int h) {
   return 0;
 }
 
+// JPEG encode (quality 1..100), RGB8 rows straight into libjpeg.
+int cnnsr_encode_jpeg(const char* path, const uint8_t* rgb, int w, int h,
+                      int quality) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return -3;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = (JDIMENSION)w;
+  cinfo.image_height = (JDIMENSION)h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(rgb) +
+                   (size_t)cinfo.next_scanline * w * 3;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Color ops (host-side batch preprocessing)
 // ---------------------------------------------------------------------------

@@ -52,6 +52,28 @@ def test_encode_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, rgb)
 
 
+def test_encode_jpeg_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    # smooth gradient (JPEG is lossy; keep the content compressible)
+    y = np.linspace(0, 255, 24, dtype=np.float32)[:, None, None]
+    x = np.linspace(0, 255, 32, dtype=np.float32)[None, :, None]
+    rgb = np.clip((y + x) / 2 + rng.normal(0, 2, (24, 32, 3)), 0, 255
+                  ).astype(np.uint8)
+    p = str(tmp_path / "out.jpg")
+    native.encode_jpeg(p, rgb, quality=95)
+    back = np.asarray(Image.open(p).convert("RGB")).astype(np.int32)
+    assert back.shape == rgb.shape
+    assert np.abs(back - rgb.astype(np.int32)).mean() < 6.0
+
+    # write_image routes .jpg through the native encoder
+    from cnn_sr_tpu.ops.image import write_image
+
+    p2 = str(tmp_path / "out2.jpeg")
+    write_image(p2, rgb)
+    back2 = np.asarray(Image.open(p2).convert("RGB"))
+    assert back2.shape == rgb.shape
+
+
 def test_extract_luma_matches_numpy():
     rng = np.random.default_rng(3)
     rgba = rng.integers(0, 256, (25, 31, 4), dtype=np.uint8)
