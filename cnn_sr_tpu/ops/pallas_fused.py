@@ -101,6 +101,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ws.append(-(-(ws[-1] + s) // 8) * 8)
     ws.reverse()
     win_w = -(-ws[0] // sub_align) * sub_align
+    # f=1 layers (pre-im2col'd first layers and SRCNN 9-1-5's middle)
+    # matmul the FULL source width so the operand is a free collapse of
+    # the source ref itself — propagate the full width downstream
+    ws[0] = win_w
+    for li in range(n_layers - 1):
+        if fs[li] == 1:
+            ws[li + 1] = ws[li]
     c_pad = -(-c_in // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
@@ -115,6 +122,19 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         hs.append(hs[-1] - s)
 
     n_out = ns[-1]
+    # activations feeding MXU layers stream in `dtype` (their consumers
+    # cast patches to `dtype` anyway — identical values, half the VMEM);
+    # the last layer's input stays f32 for the VPU tap accumulation
+    act_dts = [dtype if li + 1 < n_layers - 1 else jnp.float32
+               for li in range(n_layers - 1)]
+    # a first f=1 layer reads the whole lane-padded window: widen its
+    # weight rows with zeros to match (pad lanes are zeros from `ap`)
+    if fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
+        wbs = list(wbs)
+        wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
+    # z/patch scratch exists only for f>1 middle layers
+    pz_idx = {li: i for i, li in enumerate(
+        li for li in range(n_layers - 1) if fs[li] > 1)}
 
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
@@ -122,8 +142,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         scratch = refs[2 * n_layers + n_out :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
-        z_refs = scratch[2 + (n_layers - 1) : 2 + 2 * (n_layers - 1)]
-        p_refs = scratch[2 + 2 * (n_layers - 1) :]
+        n_pz = len(pz_idx)
+        z_refs = scratch[2 + (n_layers - 1) : 2 + (n_layers - 1) + n_pz]
+        p_refs = scratch[2 + (n_layers - 1) + n_pz :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -163,14 +184,33 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # r−dy; out[i] = Σ_dy Z[i+dy, dy-block] — f static shifted adds
         # fused into the bias+ReLU. Patches feed the MXU once (vs f×) and
         # the matmul runs at f·n lanes wide (vs f dispatches n wide).
+        ch = _MM_CHUNK_ROWS
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
-            z_ref = z_refs[li]
-            p_ref = p_refs[li]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
+            act_dt = act_dts[li]
 
+            if f == 1:
+                # 1x1 layer (pre-im2col'd first layer / 9-1-5's middle):
+                # the matmul operand is a free full-width collapse of the
+                # source ref itself — no patch scratch, no phase combine
+                kk = c_pad if li == 0 else ks[li]
+                for c0 in range(0, oh, ch):
+                    ce = min(c0 + ch, oh)
+                    y = jnp.dot(
+                        src[c0:ce, 0:ow, 0:kk].reshape((ce - c0) * ow, kk),
+                        w_ref[...],
+                        preferred_element_type=jnp.float32,
+                    )
+                    act_refs[li][c0:ce] = jnp.maximum(
+                        y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
+                    ).astype(act_dt)
+                continue
+
+            z_ref = z_refs[pz_idx[li]]
+            p_ref = p_refs[pz_idx[li]]
             ph = oh + f - 1
             for dx in range(f):
                 p_ref[:, :, dx * k : (dx + 1) * k] = src[
@@ -181,7 +221,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             # + result transients alone blow the scoped-VMEM budget at
             # 1080p tiles, while 32·ow-row dots keep the MXU saturated
             # at ~8 MB of stack
-            ch = _MM_CHUNK_ROWS
             for c0 in range(0, oh + f - 1, ch):
                 ce = min(c0 + ch, ph)
                 z_ref[c0:ce] = jnp.dot(
@@ -193,7 +232,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             val = z_ref[0:oh, :, 0:n]
             for dy in range(1, f):
                 val = val + z_ref[dy : dy + oh, :, dy * n : (dy + 1) * n]
-            act_refs[li][...] = jnp.maximum(val + b_ref[...], 0.0)
+            act_refs[li][...] = jnp.maximum(
+                val + b_ref[...], 0.0).astype(act_dt)
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -231,20 +271,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         pltpu.VMEM((2, win_h, win_w, c_pad), dtype),  # double-buffered windows
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    for li in range(n_layers - 1):  # f32 activations of middle layers
-        # (activations stay f32: Mosaic cannot dynamically slice the H dim
-        # of packed bf16 refs; only patches/weights stream in `dtype`)
+    for li in range(n_layers - 1):  # middle-layer activations
+        # (all slicing of act refs is static, so packed `dtype` storage is
+        # legal; the last layer's f32 input keeps VPU accumulation exact)
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), jnp.float32)
+            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), act_dts[li])
         )
-    for li in range(n_layers - 1):  # f32 all-phase matmul outputs (Z)
+    for li in pz_idx:  # f32 all-phase matmul outputs (Z), f>1 layers only
         scratch_shapes.append(
             pltpu.VMEM(
                 (hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
                 jnp.float32,
             )
         )
-    for li in range(n_layers - 1):  # extended patch buffers (height oh+f−1)
+    for li in pz_idx:  # extended patch buffers (height oh+f−1)
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ks[li]), dtype)
         )
@@ -273,6 +313,32 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
 
 
+def _im2col_patches(x, f: int, dtype):
+    """(N, H, W, k) → (N, H−f+1, W−f+1, f²·k) patches, channel index
+    (dy·f + dx)·k + c — the same flattening as HWIO weights reshaped to
+    (f²·k, n). Feeds the kernel's folded first layer (a 1x1 matmul).
+
+    Built as a stack of 2D planes + transpose: slicing (…, H, W, 1)
+    views directly would materialize f²·k single-channel temps that TPU
+    lane-pads 128× (observed 500 MB each → HBM OOM under lax.scan);
+    2D (H, W) slices tile cleanly and only the final array pays the
+    one expected lane pad."""
+    oh = x.shape[1] - f + 1
+    ow = x.shape[2] - f + 1
+    xb = x.astype(dtype)
+    k = x.shape[3]
+    planes = jnp.stack(
+        [
+            xb[:, dy : dy + oh, dx : dx + ow, c]
+            for dy in range(f)
+            for dx in range(f)
+            for c in range(k)
+        ],
+        axis=1,
+    )  # (N, f²·k, oh, ow) — 2D-tiled slices, no channel padding
+    return planes.transpose(0, 2, 3, 1)
+
+
 def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
     (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n);
@@ -299,12 +365,14 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
-    Layer 1 = XLA im2col matmul; layers 2..L = one Pallas kernel with
-    VMEM-resident patches/activations, streamed in ``dtype`` (default
-    bf16) with f32 accumulation. Drop-in for ``models.forward`` on
-    models with ≤4 output channels (luma or RGB), ≥3 layers, a
-    few-channel first layer and 8-multiple middle channels; falls back
-    to XLA otherwise.
+    XLA builds the first layer's im2col patch array; ALL conv layers run
+    in one Pallas kernel (the folded first layer is a 1x1 matmul whose
+    f²·k ≤ 128 lanes ride the window DMA's lane padding for free),
+    streamed in ``dtype`` (default bf16) with f32 accumulation. Falls
+    back to an XLA im2col first layer when f²·k > 256, and to the plain
+    XLA conv path for models outside the kernel's envelope (≤4 output
+    channels, ≥3 layers, few-channel first layer, 8-multiple middle
+    channels).
     """
     from ..models import forward as _xla_forward
 
@@ -313,7 +381,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # widths); small tiles for deep stacks — the Mosaic remote compiler
     # crashes on the larger per-layer scratch IR of deep models
     if tile_h <= 0:
-        tile_h = 64 if len(params) <= 4 else 32
+        tile_h = 64
     if tile_w <= 0:
         tile_w = 256 if len(params) <= 4 else 128
     tile_h = max(8, tile_h // 8 * 8)
@@ -333,14 +401,24 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
 
     w1 = jnp.asarray(params[0]["w"], jnp.float32)
     b1 = jnp.asarray(params[0]["b"], jnp.float32)
-    wbs = _prepare_tail_weights(params[1:], dtype)
     interpret = jax.default_backend() == "cpu"  # pallas needs interpret mode off-TPU
 
-    dims = tuple(
+    f1, _, c1, n1 = params[0]["w"].shape
+    kpack = f1 * f1 * c1
+    tail_dims = tuple(
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
     )
-    a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
+    if kpack <= 256:
+        # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
+        dims = ((1, kpack, n1),) + tail_dims
+        wbs = [w1.reshape(kpack, n1).astype(dtype), b1]
+        wbs += _prepare_tail_weights(params[1:], dtype)
+        a1 = _im2col_patches(x, f1, dtype)
+    else:
+        dims = tail_dims
+        wbs = _prepare_tail_weights(params[1:], dtype)
+        a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
     outs = [
         _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
                            interpret=interpret, dtype=dtype)
