@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
     p.add_argument(
+        "--train-precision", choices=("highest", "high", "default"),
+        default="highest",
+        help="conv MXU precision of the training step: 'highest' is exact "
+        "reference parity (default); 'high' trades ~1e-4 relative gradient "
+        "error for ~1.7x speed (docs/BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--pallas", action="store_true",
         help="use the fused Pallas forward kernel for inference",
     )
@@ -165,7 +172,12 @@ def _run_forward_dir(args, cfg, state, profiler) -> int:
 
 def run_training(args, cfg, profiler) -> int:
     from .training.samples import find_training_samples, load_sample_set
+    from jax import lax
+
     from .training.trainer import init_train_state, train_loop
+
+    _LAX_PRECISION = {"high": lax.Precision.HIGH,
+                      "default": lax.Precision.DEFAULT}
     from .utils.params_io import save_parameters_file
 
     print(
@@ -191,6 +203,8 @@ def run_training(args, cfg, profiler) -> int:
             mini_batch_count=args.mini_batch_count,
             validation_cadence=args.validation_cadence,
             epochs_per_dispatch=args.epochs_per_dispatch,
+            precision=(None if args.train_precision == "highest"
+                       else _LAX_PRECISION[args.train_precision]),
             seed=args.seed,
         )
     dt = time.perf_counter() - t0

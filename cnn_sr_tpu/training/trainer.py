@@ -52,12 +52,17 @@ class TrainState:
     epochs: int = 0
 
 
-def _grads(params, inputs, gts, num_chunks: int):
+def _grads(params, inputs, gts, num_chunks: int, precision=None):
     """Raw-sum gradients over the batch, optionally accumulated in
     ``num_chunks`` sequential chunks to bound activation memory (the
-    reference's mini-batch split, Main_cl.cpp:92-93,128)."""
+    reference's mini-batch split, Main_cl.cpp:92-93,128).
+
+    ``precision``: conv MXU precision (None = HIGHEST, the exact-parity
+    default; ``lax.Precision.HIGH`` trades ~1e-4 relative gradient error
+    for ~1.7x step speed — see docs/BENCHMARKS.md)."""
+    kw = {} if precision is None else {"precision": precision}
     if num_chunks <= 1:
-        return jax.grad(loss_sum)(params, inputs, gts)
+        return jax.grad(loss_sum)(params, inputs, gts, **kw)
     s = inputs.shape[0]
     chunk = s // num_chunks  # caller guarantees divisibility
     xs = inputs.reshape(num_chunks, chunk, *inputs.shape[1:])
@@ -65,7 +70,7 @@ def _grads(params, inputs, gts, num_chunks: int):
 
     def body(carry, xt):
         x, t = xt
-        g = jax.grad(loss_sum)(params, x, t)
+        g = jax.grad(loss_sum)(params, x, t, **kw)
         return jax.tree.map(lambda a, b: a + b, carry, g), None
 
     zero = jax.tree.map(jnp.zeros_like, params)
@@ -80,23 +85,25 @@ def _grads(params, inputs, gts, num_chunks: int):
 _STEP_CACHE: dict = {}
 
 
-def _cache_key(kind, cfg, num_chunks, mesh):
+def _cache_key(kind, cfg, num_chunks, mesh, precision=None):
     return (kind, tuple(cfg.learning_rates), cfg.momentum, cfg.weight_decay,
-            num_chunks, mesh)
+            num_chunks, mesh, precision)
 
 
 def make_train_step(
     cfg: Config,
     mesh=None,
     num_chunks: int = 1,
+    precision=None,
 ) -> Callable:
     """Build the jitted epoch step:
     ``(params, prev_delta, inputs, gts) -> (params', prev_delta')``.
 
     ``inputs``/``gts``: (T, H, W, C). The update divides by T (the
     reference passes train_set.size() as batch_size — Main_cl.cpp:167-170).
+    ``precision``: see ``_grads``.
     """
-    key = _cache_key("single", cfg, num_chunks, mesh)
+    key = _cache_key("single", cfg, num_chunks, mesh, precision)
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
 
@@ -104,7 +111,7 @@ def make_train_step(
     momentum, wd = cfg.momentum, cfg.weight_decay
 
     def step(params, prev_delta, inputs, gts):
-        grads = _grads(params, inputs, gts, num_chunks)
+        grads = _grads(params, inputs, gts, num_chunks, precision)
         return update_parameters(
             params, prev_delta, grads, lrs, momentum, wd, inputs.shape[0]
         )
@@ -127,7 +134,8 @@ def make_train_step(
     return sharded_step
 
 
-def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callable:
+def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None,
+                          precision=None) -> Callable:
     """Build a jitted multi-epoch step: ``lax.scan`` over K epochs in ONE
     dispatch — (params, prev, inputs, gts, train_idx[K,T], val_idx[K,V],
     do_val[K]) → (params', prev', val_errs[K]).
@@ -138,7 +146,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callab
     epochs and keeps parameters on-device throughout. ``val_errs[k]`` is
     the post-update validation squared error when ``do_val[k]`` else -1.
     """
-    key = _cache_key("multi", cfg, num_chunks, mesh)
+    key = _cache_key("multi", cfg, num_chunks, mesh, precision)
     if key in _STEP_CACHE:
         return _STEP_CACHE[key]
 
@@ -151,7 +159,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None) -> Callab
             t_idx, v_idx, dv = xs
             x = jnp.take(inputs, t_idx, axis=0)
             t = jnp.take(gts, t_idx, axis=0)
-            grads = _grads(params, x, t, num_chunks)
+            grads = _grads(params, x, t, num_chunks, precision)
             params, prev = update_parameters(
                 params, prev, grads, lrs, momentum, wd, t_idx.shape[0]
             )
@@ -216,6 +224,7 @@ def train_loop(
     validation_cadence: int = 25,   # Main_cl.cpp:174
     epochs_per_dispatch: int = 1,   # >1: lax.scan K epochs per device dispatch
     mesh=None,
+    precision=None,                 # None=HIGHEST parity; HIGH ≈ 1.7x faster
     seed: Optional[int] = None,
     log: Callable[[str], None] = print,
     on_epoch: Optional[Callable[[int, Optional[float]], None]] = None,
@@ -252,7 +261,8 @@ def train_loop(
         return validation_size > 0 and ((e % validation_cadence) == 0 or e == epochs - 1)
 
     if epochs_per_dispatch > 1 and epochs > 1:
-        step_k = make_multi_epoch_step(cfg, num_chunks=num_chunks, mesh=mesh)
+        step_k = make_multi_epoch_step(cfg, num_chunks=num_chunks, mesh=mesh,
+                                       precision=precision)
         error = False
         epoch_id = 0
         while epoch_id < epochs and not error:
@@ -294,7 +304,8 @@ def train_loop(
         ]
         return error
 
-    step = make_train_step(cfg, mesh=mesh, num_chunks=num_chunks)
+    step = make_train_step(cfg, mesh=mesh, num_chunks=num_chunks,
+                           precision=precision)
     validate = make_validation_fn(mesh=mesh)
 
     error = False
