@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=None, help="deterministic RNG seed")
     p.add_argument(
+        "--full-state", action="store_true",
+        help="also save/resume momentum buffers + shuffle RNG in a "
+        "'<params>.state.npz' sidecar, making interrupted training "
+        "bit-identical to an uninterrupted run (the reference's params "
+        "JSON alone resets momentum on resume)",
+    )
+    p.add_argument(
         "--train-precision", choices=("highest", "high", "default"),
         default="highest",
         help="conv MXU precision of the training step: 'highest' is exact "
@@ -192,6 +199,19 @@ def run_training(args, cfg, profiler) -> int:
 
     state = init_train_state(cfg, seed=args.seed)
 
+    rng = None
+    if args.full_state:
+        from .training.checkpoint import load_full_state
+
+        if cfg.parameters_file:
+            rng = load_full_state(cfg.parameters_file, state)
+            if rng is not None:
+                print(f"Resumed full training state "
+                      f"(momentum + RNG) from "
+                      f"'{cfg.parameters_file}.state.npz'")
+        if rng is None:
+            rng = np.random.default_rng(args.seed)
+
     t0 = time.perf_counter()
     with profiler.stage("train_loop"):
         error = train_loop(
@@ -206,6 +226,7 @@ def run_training(args, cfg, profiler) -> int:
             precision=(None if args.train_precision == "highest"
                        else _LAX_PRECISION[args.train_precision]),
             seed=args.seed,
+            rng=rng,
         )
     dt = time.perf_counter() - t0
     if args.epochs > 0:
@@ -217,6 +238,11 @@ def run_training(args, cfg, profiler) -> int:
     if args.out_path and not error:
         print(f"Saving parameters to: '{args.out_path}'")
         save_parameters_file(args.out_path, state.params, epochs=state.epochs)
+        if args.full_state:
+            from .training.checkpoint import save_full_state
+
+            print(f"Saving full training state to: "
+                  f"'{save_full_state(args.out_path, state, rng)}'")
     return 1 if error else 0
 
 

@@ -226,12 +226,14 @@ def train_loop(
     mesh=None,
     precision=None,                 # None=HIGHEST parity; HIGH ≈ 1.7x faster
     seed: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,  # overrides seed (resume)
     log: Callable[[str], None] = print,
     on_epoch: Optional[Callable[[int, Optional[float]], None]] = None,
 ) -> bool:
     """Run ``epochs`` epochs, mutating ``state``. Returns True on error
     (NaN validation loss — Main_cl.cpp:179-184)."""
-    rng = np.random.default_rng(seed)
+    if rng is None:
+        rng = np.random.default_rng(seed)
     s = samples.count
     validation_size = int(s * validation_percent / 100.0)
     train_size = s - validation_size

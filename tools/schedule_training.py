@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     p.add_argument("--seconds-per-epoch", type=float, default=0.7,
                    help="estimate for converting --duration to epochs")
     p.add_argument("--dry", action="store_true", help="do not output any files")
+    p.add_argument("--full-state", action="store_true",
+                   help="pass --full-state to each iteration (momentum + "
+                   "RNG survive across iterations) and snapshot the "
+                   "'.state.npz' sidecar too")
     args = p.parse_args(argv)
 
     if args.duration:
@@ -66,6 +70,8 @@ def main(argv=None) -> int:
         cmd.append("dry")
     else:
         cmd += ["-o", args.params_file]
+    if args.full_state:
+        cmd.append("--full-state")
     print(f"Command to execute:\n'{' '.join(cmd)}'")
     print(f"Will do {iters} iterations x {per_iter} epochs = {total_epochs} total")
 
@@ -88,6 +94,9 @@ def main(argv=None) -> int:
         if not args.dry:
             print(f"saving sub results to: '{snap_path}'")
             shutil.copy2(args.params_file, snap_path)
+            sidecar = args.params_file + ".state.npz"
+            if args.full_state and os.path.isfile(sidecar):
+                shutil.copy2(sidecar, snap_path + ".state.npz")
 
     dt = time.time() - start
     print(
