@@ -26,23 +26,31 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libcnnsr_native.so")
 _lib = None
 
 
-def _try_load():
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-        os.path.join(_NATIVE_DIR, "Makefile")
-    ):
+def _rebuild() -> None:
+    if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-B", "-C", _NATIVE_DIR],
                 capture_output=True, timeout=120, check=False,
             )
         except Exception:
             pass
+
+
+def _try_load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _rebuild()
     if os.path.exists(_LIB_PATH):
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            if not hasattr(lib, "cnnsr_encode_jpeg"):
+                # stale library from before a symbol was added — rebuild
+                del lib
+                _rebuild()
+                lib = ctypes.CDLL(_LIB_PATH)
             lib.cnnsr_image_size.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
             lib.cnnsr_image_size.restype = ctypes.c_int
@@ -70,7 +78,9 @@ def _try_load():
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64]
             lib.cnnsr_parse_floats.restype = ctypes.c_int64
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # unloadable or still missing symbols after a rebuild attempt:
+            # degrade gracefully to the PIL/numpy paths
             _lib = False
     else:
         _lib = False

@@ -30,6 +30,19 @@ def sidecar_path(params_path: str) -> str:
     return params_path + ".state.npz"
 
 
+def _params_digest(params) -> str:
+    """SHA-1 over the weight/bias bytes — ties a sidecar to the exact
+    params file it was saved with (epoch counters alone can collide when
+    a file is retrained from scratch)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for l in params:
+        h.update(np.ascontiguousarray(l["w"], np.float32).tobytes())
+        h.update(np.ascontiguousarray(l["b"], np.float32).tobytes())
+    return h.hexdigest()
+
+
 def save_full_state(params_path: str, state, rng: np.random.Generator) -> str:
     """Write momentum buffers + RNG state alongside ``params_path``."""
     path = sidecar_path(params_path)
@@ -40,31 +53,41 @@ def save_full_state(params_path: str, state, rng: np.random.Generator) -> str:
     arrays["rng_state"] = np.frombuffer(
         json.dumps(rng.bit_generator.state).encode(), dtype=np.uint8)
     arrays["epochs"] = np.int64(state.epochs)
+    arrays["params_sha1"] = np.frombuffer(
+        _params_digest(state.params).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
     return path
 
 
 def load_full_state(params_path: str, state) -> Optional[np.random.Generator]:
-    """If a sidecar exists and matches ``state``'s shapes and epoch
-    counter, restore the momentum buffers in place and return the
-    restored RNG; else return None (fresh momentum/RNG, reference
-    behavior)."""
+    """If a sidecar exists and matches ``state`` (epoch counter, momentum
+    shapes AND a digest of the loaded weights), restore the momentum
+    buffers in place and return the restored RNG; else return None
+    (fresh momentum/RNG, reference behavior). Corrupt or truncated
+    sidecars are ignored, never fatal."""
     path = sidecar_path(params_path)
     if not os.path.isfile(path):
         return None
-    with np.load(path) as z:
-        if int(z["epochs"]) != state.epochs:
-            return None  # params file was swapped/retrained; don't mix
-        prev = []
-        for i, l in enumerate(state.prev_delta):
-            kw, kb = f"pd_w{i}", f"pd_b{i}"
-            if kw not in z or z[kw].shape != l["w"].shape:
-                return None
-            prev.append({"w": z[kw], "b": z[kb]})
-        rng_state = json.loads(bytes(z["rng_state"]).decode())
+    try:
+        with np.load(path) as z:
+            if int(z["epochs"]) != state.epochs:
+                return None  # params file was swapped/retrained; don't mix
+            if bytes(z["params_sha1"]).decode() != _params_digest(state.params):
+                return None  # sidecar belongs to a different training run
+            prev = []
+            for i, l in enumerate(state.prev_delta):
+                kw, kb = f"pd_w{i}", f"pd_b{i}"
+                if (kw not in z or kb not in z
+                        or z[kw].shape != l["w"].shape
+                        or z[kb].shape != l["b"].shape):
+                    return None
+                prev.append({"w": z[kw], "b": z[kb]})
+            rng_state = json.loads(bytes(z["rng_state"]).decode())
+        rng = np.random.default_rng()
+        rng.bit_generator.state = rng_state
+    except (KeyError, ValueError, OSError, json.JSONDecodeError, TypeError):
+        return None  # truncated/corrupt sidecar -> fresh momentum/RNG
     for dst, src in zip(state.prev_delta, prev):
         dst["w"] = src["w"]
         dst["b"] = src["b"]
-    rng = np.random.default_rng()
-    rng.bit_generator.state = rng_state
     return rng

@@ -120,9 +120,11 @@ def test_serve_model_slots_and_stats(cfg_path, tmp_path):
 
 
 def test_serve_batching_queue(cfg_path):
-    # a long batch window + concurrent same-shape posts → one fused batch
+    # a long batch window + concurrent same-shape posts → one fused
+    # batch; max_batch == the post count so the round closes as soon as
+    # all four arrive (the window is an upper bound, not a sleep)
     server, worker, port = _start_server(
-        cfg_path, batch_wait_ms=300.0, max_batch=8)
+        cfg_path, batch_wait_ms=2000.0, max_batch=4)
     try:
         rng = np.random.default_rng(2)
         imgs = [rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
@@ -142,6 +144,7 @@ def test_serve_batching_queue(cfg_path):
         for t in threads:
             t.join(timeout=120)
         assert not errs
+        assert all(out is not None for out in outs), "a post thread timed out"
         for img, out in zip(imgs, outs):
             assert out.shape == (20, 20, 3)
             np.testing.assert_array_equal(out[0, 0], img[0, 0])

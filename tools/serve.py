@@ -77,7 +77,8 @@ class DeviceWorker(threading.Thread):
 
     def __init__(self, slots: dict, use_pallas: bool = False,
                  scale: float = 1.0, max_batch: int = 8,
-                 batch_wait_ms: float = 3.0, bucket: int = 0):
+                 batch_wait_ms: float = 3.0, bucket: int = 0,
+                 job_timeout_s: float = 600.0):
         super().__init__(daemon=True, name="device-worker")
         self.slots = slots
         self.use_pallas = use_pallas
@@ -85,6 +86,9 @@ class DeviceWorker(threading.Thread):
         self.max_batch = max(1, max_batch)
         self.batch_wait_s = max(0.0, batch_wait_ms) / 1e3
         self.bucket = bucket
+        # generous default: first-touch Pallas compiles can take minutes
+        # on a remote-compile backend (docs/BENCHMARKS.md)
+        self.job_timeout_s = job_timeout_s
         self.queue: "queue.Queue[_Job | None]" = queue.Queue()
         self._stopping = False
         self.lock = threading.Lock()
@@ -95,6 +99,10 @@ class DeviceWorker(threading.Thread):
         }
 
     def submit(self, job: _Job) -> None:
+        if self._stopping:
+            job.error = RuntimeError("server shutting down")
+            job.done.set()
+            return
         with self.lock:
             self.stats["requests"] += 1
             if job.model in self.stats["per_model"]:
@@ -105,9 +113,21 @@ class DeviceWorker(threading.Thread):
         self._stopping = True
         self.queue.put(None)
 
+    def _drain_queue(self) -> None:
+        """Fail any jobs still enqueued (shutdown) so their handler
+        threads unblock immediately instead of hitting the timeout."""
+        while True:
+            try:
+                job = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            if job is not None:
+                job.error = RuntimeError("server shutting down")
+                job.done.set()
+
     def snapshot(self) -> dict:
         with self.lock:
-            s = json.loads(json.dumps(self.stats))
+            s = {**self.stats, "per_model": dict(self.stats["per_model"])}
         s["queue_depth"] = self.queue.qsize()
         s["models"] = sorted(self.slots)
         return s
@@ -143,6 +163,7 @@ class DeviceWorker(threading.Thread):
                 self.stats["rounds"] += 1
                 self.stats["max_batch_seen"] = max(
                     self.stats["max_batch_seen"], len(batch))
+        self._drain_queue()
 
     def _process_group(self, jobs) -> None:
         from cnn_sr_tpu.api import upscale_batch, upscale_image
@@ -184,7 +205,7 @@ class DeviceWorker(threading.Thread):
         return np.asarray(upscale_rgba(jnp.asarray(rgba), self.scale))
 
 
-def build_handler(worker: DeviceWorker, timeout_s: float = 120.0):
+def build_handler(worker: DeviceWorker):
     from PIL import Image
 
     class Handler(BaseHTTPRequestHandler):
@@ -250,11 +271,13 @@ def build_handler(worker: DeviceWorker, timeout_s: float = 120.0):
 
             job = _Job(model, rgba)
             worker.submit(job)
-            if not job.done.wait(timeout_s) or job.error is not None:
+            if not job.done.wait(worker.job_timeout_s) or job.error is not None:
                 err = job.error or TimeoutError("device worker timeout")
+                # ValueError = bad request content (shape/format); anything
+                # else — including device/runtime OSErrors — is a server fault
+                code = 400 if isinstance(job.error, ValueError) else 500
                 self._reply(
-                    500 if job.error is None or not isinstance(
-                        job.error, (ValueError, OSError)) else 400,
+                    code,
                     f"error: {type(err).__name__}: {err}\n".encode(),
                     "text/plain")
                 return
@@ -279,11 +302,11 @@ def load_slot(config_path: str, seed=None) -> dict:
 def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
                 use_pallas: bool = False, scale: float = 1.0,
                 max_batch: int = 8, batch_wait_ms: float = 3.0,
-                bucket: int = 0):
+                bucket: int = 0, job_timeout_s: float = 600.0):
     """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
     worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
-                          bucket=bucket)
+                          bucket=bucket, job_timeout_s=job_timeout_s)
     server = ThreadingHTTPServer((host, port), build_handler(worker))
     return server, worker
 
@@ -308,6 +331,9 @@ def main(argv=None) -> int:
     p.add_argument("--bucket", type=int, default=64,
                    help="pad single-image shapes to multiples of this "
                         "for compile reuse (0 = exact shapes)")
+    p.add_argument("--job-timeout", type=float, default=600.0,
+                   help="seconds a request waits for the device worker "
+                        "(first-touch kernel compiles can take minutes)")
     args = p.parse_args(argv)
 
     slots = {}
@@ -327,7 +353,8 @@ def main(argv=None) -> int:
     server, worker = make_server(
         slots, args.host, args.port, use_pallas=args.pallas,
         scale=args.scale, max_batch=args.max_batch,
-        batch_wait_ms=args.batch_wait_ms, bucket=args.bucket)
+        batch_wait_ms=args.batch_wait_ms, bucket=args.bucket,
+        job_timeout_s=args.job_timeout)
     worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")
