@@ -23,28 +23,35 @@ from .ops.color import extract_luma, subtract_mean, swap_luma, swap_rgb
 from .utils.config import Config
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def _upscale_luma_jit(params, rgba, use_pallas: bool = False):
-    """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), luma-channel model."""
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
+                      add_mean: bool = False):
+    """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), luma-channel model.
+    ``add_mean``: the model predicts mean-relative luma
+    (config ``zero_mean_target``) — add the input mean back."""
     luma = extract_luma(rgba, normalize=True)
-    luma0, _ = subtract_mean(luma)
+    luma0, mean = subtract_mean(luma)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
         y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
     else:
         y = forward(params, luma0[None, ..., None])[0, ..., 0]
+    if add_mean:
+        y = y + mean
     return swap_luma(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def _upscale_rgb_jit(params, rgba, use_pallas: bool = False):
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
+                     add_mean: bool = False):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), full-RGB model
     (extended waifu2x-style variant)."""
     rgb = rgba[..., :3].astype(jnp.float32) / 255.0
     # per-channel mean subtraction on the *input* only; like the luma
     # path, the net is trained against raw 0..1 targets and outputs
     # absolute intensities (samples.load_sample_set uses the same rule)
+    # unless the config opts into mean-relative targets (add_mean)
     mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
@@ -52,12 +59,14 @@ def _upscale_rgb_jit(params, rgba, use_pallas: bool = False):
         y = fused_forward(params, (rgb - mean)[None])[0]
     else:
         y = forward(params, (rgb - mean)[None])[0]
+    if add_mean:
+        y = y + mean
     return swap_rgb(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
 def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False, add_mean: bool = False):
     """Net luma output for an edge-padded image whose valid region is
     (valid_h, valid_w) — traced scalars, so ONE compiled program serves
     every image that rounds up to the same bucket shape.
@@ -78,8 +87,10 @@ def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
-        return fused_forward(params, luma0[None, ..., None])[0, ..., 0]
-    return forward(params, luma0[None, ..., None])[0, ..., 0]
+        y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+    else:
+        y = forward(params, luma0[None, ..., None])[0, ..., 0]
+    return y + mean if add_mean else y
 
 
 @jax.jit
@@ -87,8 +98,9 @@ def _swap_luma_jit(rgba, y):
     return swap_luma(rgba, y)
 
 
-@jax.jit
-def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w):
+@partial(jax.jit, static_argnames=("add_mean",))
+def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w,
+                        add_mean: bool = False):
     """RGB-model analog of ``_luma_forward_padded``: per-channel
     valid-region mean subtraction on an edge-padded image."""
     rgb = rgba_padded[..., :3].astype(jnp.float32) / 255.0
@@ -98,7 +110,8 @@ def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w):
     valid = ((rows < valid_h) & (cols < valid_w))[..., None]
     count = valid_h.astype(jnp.float32) * valid_w.astype(jnp.float32)
     mean = jnp.sum(jnp.where(valid, rgb, 0.0), axis=(0, 1), keepdims=True) / count
-    return forward(params, (rgb - mean)[None])[0]
+    y = forward(params, (rgb - mean)[None])[0]
+    return y + mean if add_mean else y
 
 
 @jax.jit
@@ -113,7 +126,8 @@ def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int):
     wp = -(-w // bucket) * bucket
     padded = np.pad(rgba, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     y = _rgb_forward_padded(
-        params, jnp.asarray(padded), jnp.int32(h), jnp.int32(w)
+        params, jnp.asarray(padded), jnp.int32(h), jnp.int32(w),
+        add_mean=cfg.zero_mean_target,
     )
     y_valid = y[: h - shrink, : w - shrink]
     return np.asarray(_swap_rgb_jit(jnp.asarray(rgba), y_valid))
@@ -131,6 +145,7 @@ def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool):
     y = _luma_forward_padded(
         params, jnp.asarray(padded),
         jnp.int32(h), jnp.int32(w), use_pallas=use_pallas,
+        add_mean=cfg.zero_mean_target,
     )
     y_valid = y[: h - shrink, : w - shrink]
     return np.asarray(_swap_luma_jit(jnp.asarray(rgba), y_valid))
@@ -162,14 +177,17 @@ def upscale_image(
         return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket)
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
-        out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas)
+        out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas,
+                                add_mean=cfg.zero_mean_target)
     else:
-        out = _upscale_rgb_jit(params_j, img, use_pallas=use_pallas)
+        out = _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
+                               add_mean=cfg.zero_mean_target)
     return np.asarray(out)
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False):
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
+                            add_mean: bool = False):
     """uint8 RGBA (S, H, W, 4) → uint8 RGB (S, H, W, 3) — batched luma
     pipeline in one program (the batch axis also shards over a "data"
     mesh axis under jit, giving multi-chip batched inference for free)."""
@@ -182,6 +200,8 @@ def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False):
         ys = fused_forward(params, lumas0[..., None])[..., 0]
     else:
         ys = forward(params, lumas0[..., None])[..., 0]
+    if add_mean:
+        ys = ys + means
     return jax.vmap(swap_luma)(rgbas, ys)
 
 
@@ -195,10 +215,12 @@ def upscale_batch(
     params_j = jax.tree.map(jnp.asarray, params)
     imgs = jnp.asarray(rgbas)
     if cfg.channels == 1:
-        out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas)
+        out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas,
+                                      add_mean=cfg.zero_mean_target)
     else:
         out = jnp.stack([
-            _upscale_rgb_jit(params_j, img, use_pallas=use_pallas)
+            _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
+                             add_mean=cfg.zero_mean_target)
             for img in imgs
         ])
     return np.asarray(out)

@@ -79,7 +79,8 @@ class SampleSet:
         return self.width * self.height
 
 
-def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSet:
+def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1,
+                    zero_mean_target: bool = False) -> SampleSet:
     """Decode and preprocess all sample pairs into stacked arrays.
 
     ``channels=1`` (reference behavior): normalized Rec.601 luma, input
@@ -87,11 +88,17 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSe
     RGB, input mean-subtracted per channel; targets stay raw 0..1 in
     both cases. All samples must share one size (the reference sizes its
     shared batch buffers from samples[0] — Main_cl.cpp:152-154).
+
+    ``zero_mean_target`` (config extension): targets become
+    ``large − mean(small input)``, so the net learns mean-relative
+    output (inference adds the input mean back). Removes the
+    Var(per-image mean) error floor the reference's input-only
+    subtraction imposes on data whose crop means vary.
     """
     if not pairs:
         raise ValueError("no training samples found")
 
-    if channels == 1:
+    if channels == 1 and not zero_mean_target:
         native_set = _load_sample_set_native(pairs)
         if native_set is not None:
             return native_set
@@ -113,14 +120,19 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1) -> SampleSe
                 f"all samples must share one size; got {large.shape[:2]} vs {shape}"
             )
         if channels == 1:
-            inp = np.asarray(extract_luma(small, normalize=True))[..., None]
-            inp, _ = subtract_mean(inp)  # input only (Main_cl.cpp:141)
+            raw = np.asarray(extract_luma(small, normalize=True))[..., None]
+            inp, in_mean = subtract_mean(raw)  # input only (Main_cl.cpp:141)
             inp = np.asarray(inp)
             exp = np.asarray(extract_luma(large, normalize=True))[..., None]
+            if zero_mean_target:
+                exp = exp - np.asarray(in_mean)
         else:
             inp = small[..., :3].astype(np.float32) / 255.0
-            inp = inp - inp.mean(axis=(0, 1), keepdims=True)
+            in_mean = inp.mean(axis=(0, 1), keepdims=True)
+            inp = inp - in_mean
             exp = large[..., :3].astype(np.float32) / 255.0
+            if zero_mean_target:
+                exp = exp - in_mean
         inputs.append(inp)
         expecteds.append(exp)
     h, w = shape

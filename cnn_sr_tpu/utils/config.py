@@ -112,6 +112,14 @@ class Config:
     parameters_file: Optional[str] = None
     distributions: List[ParametersDistribution] = field(default_factory=list)
     channels: int = 1  # 1 = luma-only (reference behavior); 3 = full RGB
+    # Extension: train against mean-relative targets. The reference
+    # mean-subtracts the INPUT luma only (Main_cl.cpp:141) while targets
+    # stay absolute — so the net must guess each image's mean, an
+    # irreducible-error floor of Var(per-image mean) on data whose crop
+    # means vary (fine for natural photos, ruinous for synthetic sets).
+    # With zero_mean_target=true the net predicts (luma − input_mean)
+    # and inference adds the input mean back.
+    zero_mean_target: bool = False
 
     # --- classic 3-layer accessors (reference parity) ---
     @property
@@ -261,6 +269,7 @@ def parse_config(raw: dict, base_dir: Optional[str] = None) -> Config:
         parameters_file=params_file,
         distributions=dists,
         channels=channels,
+        zero_mean_target=bool(raw.get("zero_mean_target", False)),
     )
     cfg.validate()
     return cfg

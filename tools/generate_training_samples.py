@@ -48,7 +48,7 @@ def _degrade_jax(large, out_size, degrade_factor):
 
 
 def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng,
-                  backend="pil"):
+                  backend="pil", fmt="jpg"):
     with Image.open(in_path) as im:
         if im.width < out_size or im.height < out_size:
             raise ValueError(
@@ -59,15 +59,15 @@ def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng,
         y = rng.randint(0, im.height - out_size)
         large = im.convert("RGB").crop((x, y, x + out_size, y + out_size))
 
-    large_path = os.path.join(out_dir, f"sample_{img_id}_large.jpg")
-    small_path = os.path.join(out_dir, f"sample_{img_id}_small.jpg")
-    large.save(large_path, "JPEG")
+    large_path = os.path.join(out_dir, f"sample_{img_id}_large.{fmt}")
+    small_path = os.path.join(out_dir, f"sample_{img_id}_small.{fmt}")
+    large.save(large_path)
 
     if backend == "jax":
         small = _degrade_jax(large, out_size, degrade_factor)
     else:
         small = _degrade_pil(large, out_size, degrade_factor)
-    small.save(small_path, "JPEG")
+    small.save(small_path)
     return large_path, small_path
 
 
@@ -86,6 +86,11 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=["pil", "jax"], default="pil",
                    help="degradation backend: PIL (host) or the framework's "
                    "on-device jitted resize")
+    p.add_argument("--format", choices=["jpg", "png"], default="jpg",
+                   dest="fmt",
+                   help="sample file format: jpg (reference parity) or png "
+                   "(lossless — JPEG ringing on edge-dense content puts an "
+                   "unlearnable-noise floor under training)")
     args = p.parse_args(argv)
 
     rng = random.Random(args.seed)
@@ -102,7 +107,7 @@ def main(argv=None) -> int:
                 process_image(
                     os.path.join(args.in_dir, name), args.out_dir,
                     img_id, args.out_size, args.degrade_factor, rng,
-                    backend=args.backend,
+                    backend=args.backend, fmt=args.fmt,
                 )
             )
         except (OSError, ValueError) as e:
