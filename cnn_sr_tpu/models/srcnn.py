@@ -136,7 +136,8 @@ def center_crop(gt: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
-             precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+             precision=lax.Precision.HIGHEST,
+             relu_gate: bool = True) -> jnp.ndarray:
     """Training loss whose gradient matches the reference's backprop:
     ``0.5 · Σ (y − crop(gt))²`` summed over pixels, channels AND samples.
 
@@ -145,9 +146,16 @@ def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
     train set — ConfigBasedDataPipeline.cpp:128-195, 325-361 — and the
     batch-size division happens inside the update rule, so this loss is
     intentionally NOT mean-reduced). Includes the ReLU' backprop gate.
+
+    ``relu_gate=False`` (config ``last_layer_relu_gate``) drops the
+    reference's last-layer ReLU' quirk: the gate zeroes gradients
+    wherever the linear output is ≤ 0, which freezes every pixel whose
+    target is negative — survivable with the reference's 0..1 absolute
+    targets, fatal with ``zero_mean_target``'s signed ones.
     """
     y = forward(params, x, precision=precision)
-    y = relu_backprop_gate(y)
+    if relu_gate:
+        y = relu_backprop_gate(y)
     t = center_crop(gt, y.shape[-3], y.shape[-2])
     d = y - t
     return 0.5 * jnp.sum(d * d)

@@ -52,15 +52,19 @@ class TrainState:
     epochs: int = 0
 
 
-def _grads(params, inputs, gts, num_chunks: int, precision=None):
+def _grads(params, inputs, gts, num_chunks: int, precision=None,
+           relu_gate: bool = True):
     """Raw-sum gradients over the batch, optionally accumulated in
     ``num_chunks`` sequential chunks to bound activation memory (the
     reference's mini-batch split, Main_cl.cpp:92-93,128).
 
     ``precision``: conv MXU precision (None = HIGHEST, the exact-parity
     default; ``lax.Precision.HIGH`` trades ~1e-4 relative gradient error
-    for ~1.7x step speed — see docs/BENCHMARKS.md)."""
+    for ~1.7x step speed — see docs/BENCHMARKS.md).
+    ``relu_gate``: the reference's last-layer ReLU' quirk (see
+    models.loss_sum)."""
     kw = {} if precision is None else {"precision": precision}
+    kw["relu_gate"] = relu_gate
     if num_chunks <= 1:
         return jax.grad(loss_sum)(params, inputs, gts, **kw)
     s = inputs.shape[0]
@@ -87,7 +91,7 @@ _STEP_CACHE: dict = {}
 
 def _cache_key(kind, cfg, num_chunks, mesh, precision=None):
     return (kind, tuple(cfg.learning_rates), cfg.momentum, cfg.weight_decay,
-            num_chunks, mesh, precision)
+            cfg.last_layer_relu_gate, num_chunks, mesh, precision)
 
 
 def make_train_step(
@@ -110,8 +114,10 @@ def make_train_step(
     lrs = tuple(cfg.learning_rates)
     momentum, wd = cfg.momentum, cfg.weight_decay
 
+    relu_gate = cfg.last_layer_relu_gate
+
     def step(params, prev_delta, inputs, gts):
-        grads = _grads(params, inputs, gts, num_chunks, precision)
+        grads = _grads(params, inputs, gts, num_chunks, precision, relu_gate)
         return update_parameters(
             params, prev_delta, grads, lrs, momentum, wd, inputs.shape[0]
         )
@@ -152,6 +158,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None,
 
     lrs = tuple(cfg.learning_rates)
     momentum, wd = cfg.momentum, cfg.weight_decay
+    relu_gate = cfg.last_layer_relu_gate
 
     def step(params, prev_delta, inputs, gts, train_idx, val_idx, do_val):
         def body(carry, xs):
@@ -159,7 +166,7 @@ def make_multi_epoch_step(cfg: Config, num_chunks: int = 1, mesh=None,
             t_idx, v_idx, dv = xs
             x = jnp.take(inputs, t_idx, axis=0)
             t = jnp.take(gts, t_idx, axis=0)
-            grads = _grads(params, x, t, num_chunks, precision)
+            grads = _grads(params, x, t, num_chunks, precision, relu_gate)
             params, prev = update_parameters(
                 params, prev, grads, lrs, momentum, wd, t_idx.shape[0]
             )

@@ -120,6 +120,12 @@ class Config:
     # With zero_mean_target=true the net predicts (luma − input_mean)
     # and inference adds the input mean back.
     zero_mean_target: bool = False
+    # Extension: whether training keeps the reference's last-layer ReLU'
+    # gradient quirk (last_layer_delta.cl:42-47 applies ReLU' although
+    # layer 3 is linear). Defaults to True (parity) — except under
+    # zero_mean_target, where the gate freezes every pixel whose signed
+    # target is negative, so it defaults off there (still overridable).
+    last_layer_relu_gate: bool = True
 
     # --- classic 3-layer accessors (reference parity) ---
     @property
@@ -270,6 +276,10 @@ def parse_config(raw: dict, base_dir: Optional[str] = None) -> Config:
         distributions=dists,
         channels=channels,
         zero_mean_target=bool(raw.get("zero_mean_target", False)),
+        last_layer_relu_gate=bool(
+            raw.get("last_layer_relu_gate",
+                    not raw.get("zero_mean_target", False))
+        ),
     )
     cfg.validate()
     return cfg

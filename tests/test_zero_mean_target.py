@@ -32,6 +32,50 @@ def test_config_flag_parses_and_defaults_off():
     assert parse_config(dict(CFG, zero_mean_target=True)).zero_mean_target
 
 
+def test_relu_gate_defaults():
+    # parity default: gate on; zero_mean_target flips it off (signed
+    # targets would freeze); explicit key always wins
+    assert parse_config(CFG).last_layer_relu_gate is True
+    assert parse_config(dict(CFG, zero_mean_target=True)
+                        ).last_layer_relu_gate is False
+    assert parse_config(dict(CFG, zero_mean_target=True,
+                             last_layer_relu_gate=True)
+                        ).last_layer_relu_gate is True
+
+
+def test_relu_gate_off_gives_plain_mse_gradients():
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_sr_tpu.models import forward, loss_sum
+    from cnn_sr_tpu.models.srcnn import center_crop
+
+    cfg = parse_config(CFG)
+    params = init_train_state(cfg, seed=3).params
+    params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+              for l in params]
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 1)).astype(np.float32))
+    # signed targets: some outputs must go negative
+    t = jnp.asarray(rng.standard_normal((2, 12, 12, 1)).astype(np.float32))
+
+    def plain_mse(p, x, t):
+        y = forward(p, x)
+        d = y - center_crop(t, y.shape[-3], y.shape[-2])
+        return 0.5 * jnp.sum(d * d)
+
+    g_off = jax.grad(lambda p: loss_sum(p, x, t, relu_gate=False))(params)
+    g_ref = jax.grad(lambda p: plain_mse(p, x, t))(params)
+    for a, b in zip(g_off, g_ref):
+        np.testing.assert_allclose(a["w"], b["w"], rtol=1e-6, atol=1e-7)
+
+    g_on = jax.grad(lambda p: loss_sum(p, x, t, relu_gate=True))(params)
+    assert any(
+        np.abs(np.asarray(a["w"]) - np.asarray(b["w"])).max() > 1e-8
+        for a, b in zip(g_on, g_off)
+    )
+
+
 def test_sample_targets_become_mean_relative(tmp_path):
     rng = np.random.default_rng(0)
     pairs = []
