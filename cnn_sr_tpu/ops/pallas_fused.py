@@ -62,6 +62,11 @@ from ..models.fast_forward import _conv_first
 # the per-dot operand/result stack transients (scoped-VMEM limited)
 _MM_CHUNK_ROWS = 32
 
+# Perf-triage knob (tools/kernel_triage.py): stages named here are
+# replaced by zero-fills so their cost can be measured by subtraction.
+# NEVER set in production — outputs become garbage by design.
+_DEBUG_SKIP: frozenset = frozenset()
+
 
 @functools.partial(
     jax.jit, static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype")
@@ -166,15 +171,16 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # double-buffered windows: prefetch tile g+1 while computing g
         slot = jax.lax.rem(g, 2)
 
-        @pl.when(g == 0)
-        def _():
-            get_dma(0, 0).start()
+        if "dma" not in _DEBUG_SKIP:
+            @pl.when(g == 0)
+            def _():
+                get_dma(0, 0).start()
 
-        @pl.when(g + 1 < n_total)
-        def _():
-            get_dma(jax.lax.rem(g + 1, 2), g + 1).start()
+            @pl.when(g + 1 < n_total)
+            def _():
+                get_dma(jax.lax.rem(g + 1, 2), g + 1).start()
 
-        get_dma(slot, g).wait()
+            get_dma(slot, g).wait()
 
         # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
@@ -193,6 +199,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             act_dt = act_dts[li]
 
             if f == 1:
+                if "l1" in _DEBUG_SKIP:
+                    continue  # triage: leave act garbage, measure the rest
                 # 1x1 layer (pre-im2col'd first layer / 9-1-5's middle):
                 # the matmul operand is a free full-width collapse of the
                 # source ref itself — no patch scratch, no phase combine
@@ -212,10 +220,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             z_ref = z_refs[pz_idx[li]]
             p_ref = p_refs[pz_idx[li]]
             ph = oh + f - 1
-            for dx in range(f):
-                p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                    0:ph, dx : dx + ow, 0:k
-                ].astype(dtype)
+            if "mid" in _DEBUG_SKIP:
+                continue  # triage
+            if "patch" not in _DEBUG_SKIP:
+                for dx in range(f):
+                    p_ref[:, :, dx * k : (dx + 1) * k] = src[
+                        0:ph, dx : dx + ow, 0:k
+                    ].astype(dtype)
             # chunk the all-phase matmul over M (static 32-row slabs of
             # the 8-aligned patch buffer): one full-height dot's operand
             # + result transients alone blow the scoped-VMEM budget at
@@ -245,6 +256,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         src = a_vmem.at[slot] if n_layers == 1 else act_refs[n_layers - 2]
         wL_ref, bL_ref = wrefs[-2], wrefs[-1]
         RB = 8
+
+        if "last" in _DEBUG_SKIP:
+            return  # triage: outputs stay garbage
 
         def last_rowblock(rb, _):
             band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1, 0:kL]

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Fused-kernel stage triage: measure each stage's cost by subtraction.
+
+Runs the 9-5-5 1080p conv stack repeatedly with individual stages
+replaced by no-ops (pallas_fused._DEBUG_SKIP) and reports the delta vs
+the full kernel. Outputs are garbage in skip modes by design — this is
+a TIMING tool only. Serialize: nothing else may use the TPU while this
+runs (docs/BENCHMARKS.md).
+
+    python tools/kernel_triage.py [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Fused-kernel stage triage.")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from __graft_entry__ import _flagship
+    from cnn_sr_tpu.ops import pallas_fused
+    from cnn_sr_tpu.utils.params_io import random_parameters
+
+    cfg = _flagship()
+    pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
+    params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+              for l in pnp]
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 1080, 1920, 1), np.float32))
+
+    def bench() -> float:
+        @jax.jit
+        def chained(a):
+            def body(c, _):
+                y = pallas_fused.fused_forward(params, c)
+                return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
+            return lax.scan(body, a, None, length=args.iters)[0]
+
+        jax.block_until_ready(chained(x))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(x))
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    results = {}
+    modes = [
+        ("full", frozenset()),
+        ("-l1 (folded conv1 matmul)", frozenset({"l1"})),
+        ("-patch (conv2 patch build)", frozenset({"patch"})),
+        ("-mid (conv2 entirely)", frozenset({"mid"})),
+        ("-last (conv3 VPU)", frozenset({"last"})),
+        ("-all compute", frozenset({"l1", "mid", "last"})),
+        ("-all + dma (XLA ends only)", frozenset({"l1", "mid", "last", "dma"})),
+    ]
+    for name, skip in modes:
+        pallas_fused._DEBUG_SKIP = skip
+        pallas_fused._fused_tail_single.clear_cache()
+        try:
+            results[name] = bench()
+            print(f"{name:<30} {results[name]:7.2f} ms/frame", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue triage
+            print(f"{name:<30} FAILED: {type(e).__name__}", flush=True)
+    pallas_fused._DEBUG_SKIP = frozenset()
+    pallas_fused._fused_tail_single.clear_cache()
+
+    if "full" in results:
+        full = results["full"]
+        print("\nstage costs (delta vs full):")
+        for name, t in results.items():
+            if name != "full":
+                print(f"  {name:<30} {full - t:7.2f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
