@@ -63,8 +63,12 @@ from ..models.fast_forward import _conv_first
 _MM_CHUNK_ROWS = 32
 
 # Perf-triage knob (tools/kernel_triage.py): stages named here are
-# replaced by zero-fills so their cost can be measured by subtraction.
-# NEVER set in production — outputs become garbage by design.
+# SKIPPED OUTRIGHT (their outputs stay uninitialized VMEM garbage) so
+# their cost can be measured by subtraction. NEVER set in production.
+# Keys gate code paths, not model layers: "l1" = all f==1 layers (the
+# folded first layer; on 9-1-5 also its 1x1 middle layer), "mid"/"patch"
+# = f>1 middle layers / their patch build, "last" = the VPU last layer,
+# "dma" = the window copies.
 _DEBUG_SKIP: frozenset = frozenset()
 
 

@@ -124,8 +124,15 @@ class Config:
     # gradient quirk (last_layer_delta.cl:42-47 applies ReLU' although
     # layer 3 is linear). Defaults to True (parity) — except under
     # zero_mean_target, where the gate freezes every pixel whose signed
-    # target is negative, so it defaults off there (still overridable).
-    last_layer_relu_gate: bool = True
+    # target is negative, so it defaults off there (still overridable
+    # explicitly). None = resolve that default in __post_init__, so the
+    # coupling holds for direct Config(...) construction too, not just
+    # parse_config.
+    last_layer_relu_gate: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.last_layer_relu_gate is None:
+            self.last_layer_relu_gate = not self.zero_mean_target
 
     # --- classic 3-layer accessors (reference parity) ---
     @property
@@ -276,9 +283,9 @@ def parse_config(raw: dict, base_dir: Optional[str] = None) -> Config:
         distributions=dists,
         channels=channels,
         zero_mean_target=bool(raw.get("zero_mean_target", False)),
-        last_layer_relu_gate=bool(
-            raw.get("last_layer_relu_gate",
-                    not raw.get("zero_mean_target", False))
+        last_layer_relu_gate=(
+            bool(raw["last_layer_relu_gate"])
+            if "last_layer_relu_gate" in raw else None
         ),
     )
     cfg.validate()

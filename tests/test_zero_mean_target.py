@@ -5,7 +5,6 @@ subtraction (Main_cl.cpp:141; targets stay absolute there).
 """
 
 import numpy as np
-import pytest
 from PIL import Image
 
 from cnn_sr_tpu.api import upscale_image
@@ -133,8 +132,7 @@ def test_inference_is_mean_equivariant_with_flag():
     assert abs(np.median(dr)) < 2.0
 
 
-@pytest.mark.parametrize("bucket", [0, 16])
-def test_bucketed_path_matches_exact_with_flag(bucket):
+def test_bucketed_path_matches_exact_with_flag():
     rng = np.random.default_rng(2)
     cfg = parse_config(dict(CFG, zero_mean_target=True))
     params = init_train_state(cfg, seed=0).params
@@ -143,5 +141,27 @@ def test_bucketed_path_matches_exact_with_flag(bucket):
         np.full((20, 24), 255, np.uint8),
     ])
     exact = upscale_image(cfg, params, img, bucket=0)
-    other = upscale_image(cfg, params, img, bucket=bucket)
-    np.testing.assert_array_equal(exact, other)
+    bucketed = upscale_image(cfg, params, img, bucket=16)
+    np.testing.assert_array_equal(exact, bucketed)
+
+
+def test_direct_config_construction_couples_gate():
+    # the zero_mean_target -> gate-off default must hold for direct
+    # Config(...) construction too, not just parse_config
+    from cnn_sr_tpu.utils.config import Config
+
+    base = parse_config(CFG)
+    c = Config(
+        filter_counts=base.filter_counts, spatial_sizes=base.spatial_sizes,
+        momentum=base.momentum, weight_decay=base.weight_decay,
+        learning_rates=base.learning_rates, distributions=base.distributions,
+        zero_mean_target=True,
+    )
+    assert c.last_layer_relu_gate is False
+    c2 = Config(
+        filter_counts=base.filter_counts, spatial_sizes=base.spatial_sizes,
+        momentum=base.momentum, weight_decay=base.weight_decay,
+        learning_rates=base.learning_rates, distributions=base.distributions,
+        zero_mean_target=True, last_layer_relu_gate=True,
+    )
+    assert c2.last_layer_relu_gate is True

@@ -2,10 +2,15 @@
 """Fused-kernel stage triage: measure each stage's cost by subtraction.
 
 Runs the 9-5-5 1080p conv stack repeatedly with individual stages
-replaced by no-ops (pallas_fused._DEBUG_SKIP) and reports the delta vs
+skipped outright (pallas_fused._DEBUG_SKIP) and reports the delta vs
 the full kernel. Outputs are garbage in skip modes by design — this is
 a TIMING tool only. Serialize: nothing else may use the TPU while this
 runs (docs/BENCHMARKS.md).
+
+NOTE: the skip keys gate CODE PATHS — on models with a 1x1 middle layer
+(SRCNN 9-1-5) the "l1" key also skips that middle layer and "mid" skips
+nothing; the stage labels below are accurate for the 9-5-5 model this
+tool benches.
 
     python tools/kernel_triage.py [--iters 10]
 """
@@ -65,16 +70,20 @@ def main(argv=None) -> int:
         ("-all compute", frozenset({"l1", "mid", "last"})),
         ("-all + dma (XLA ends only)", frozenset({"l1", "mid", "last", "dma"})),
     ]
-    for name, skip in modes:
-        pallas_fused._DEBUG_SKIP = skip
+    try:
+        for name, skip in modes:
+            pallas_fused._DEBUG_SKIP = skip
+            pallas_fused._fused_tail_single.clear_cache()
+            try:
+                results[name] = bench()
+                print(f"{name:<30} {results[name]:7.2f} ms/frame", flush=True)
+            except Exception as e:  # noqa: BLE001 — report, continue triage
+                print(f"{name:<30} FAILED: {type(e).__name__}", flush=True)
+    finally:
+        # restore even on KeyboardInterrupt: a lingering skip set would
+        # silently poison every later fused_forward in this process
+        pallas_fused._DEBUG_SKIP = frozenset()
         pallas_fused._fused_tail_single.clear_cache()
-        try:
-            results[name] = bench()
-            print(f"{name:<30} {results[name]:7.2f} ms/frame", flush=True)
-        except Exception as e:  # noqa: BLE001 — report and continue triage
-            print(f"{name:<30} FAILED: {type(e).__name__}", flush=True)
-    pallas_fused._DEBUG_SKIP = frozenset()
-    pallas_fused._fused_tail_single.clear_cache()
 
     if "full" in results:
         full = results["full"]
