@@ -57,6 +57,34 @@ def test_generate_training_samples(tmp_path):
     assert np.abs(np.diff(s, axis=0)).mean() < np.abs(np.diff(l, axis=0)).mean()
 
 
+def test_generate_training_samples_synthetic(tmp_path):
+    import generate_training_samples as g
+
+    out = tmp_path / "samples"
+    rc = g.main(["--synthetic", "4", "-o", str(out), "-s", "48", "-d", "3",
+                 "--seed", "3", "--format", "png"])
+    assert rc == 0
+    names = sorted(os.listdir(str(out)))
+    assert len([n for n in names if "_large" in n]) == 4
+    for n in names:
+        with Image.open(str(out / n)) as im:
+            assert im.size == (48, 48) and im.mode == "RGB"
+    # deterministic given the seed
+    out2 = tmp_path / "samples2"
+    assert g.main(["--synthetic", "4", "-o", str(out2), "-s", "48", "-d", "3",
+                   "--seed", "3", "--format", "png"]) == 0
+    a = np.asarray(Image.open(str(out / "sample_2_large.png")))
+    b = np.asarray(Image.open(str(out2 / "sample_2_large.png")))
+    np.testing.assert_array_equal(a, b)
+    # synthetic content must actually contain edges (not a flat field)
+    assert np.abs(np.diff(a.astype(np.float32), axis=0)).mean() > 1.0
+    # --in-dir and --synthetic are mutually exclusive / one required
+    with pytest.raises(SystemExit):
+        g.main(["-o", str(out), "-s", "16"])
+    with pytest.raises(SystemExit):
+        g.main(["-i", str(tmp_path), "--synthetic", "2", "-o", str(out), "-s", "16"])
+
+
 def test_generate_training_samples_empty_dir(tmp_path):
     import generate_training_samples as g
 

@@ -13,16 +13,25 @@ script IS the degradation model the network learns to invert:
 
 Usage:
     python tools/generate_training_samples.py -i raw_dir -o samples_dir -s 128 -d 2
+    python tools/generate_training_samples.py --synthetic 256 -o samples_dir -s 96 -d 3
+
+``--synthetic N`` generates N procedural source images instead of
+reading ``--in-dir`` — the environment-independent way to produce a
+training set (used to train the committed ``pretrained/`` checkpoint;
+no image dataset ships with the repo). Images are gradient backgrounds
+with anti-aliased shapes/strokes at all orientations, drawn at 4x and
+Lanczos-downscaled so edges carry natural partial-pixel coverage.
 """
 
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import random
 import sys
 
-from PIL import Image
+from PIL import Image, ImageDraw
 
 
 def _degrade_pil(large, out_size, degrade_factor):
@@ -47,6 +56,77 @@ def _degrade_jax(large, out_size, degrade_factor):
     return Image.fromarray(out, "RGB")
 
 
+def synth_image(rng, size: int = 256) -> Image.Image:
+    """Procedural RGB image: smooth gradient background + anti-aliased
+    ellipses, rotated rectangles and strokes at random orientations.
+
+    Deterministic given ``rng`` (a ``numpy.random.Generator``). Edge
+    density and orientation coverage are what SRCNN's receptive field
+    learns from; drawing at 4x and Lanczos-downscaling gives edges
+    natural partial-pixel coverage instead of binary staircases."""
+    import numpy as np
+
+    big = size * 4
+    yy, xx = np.mgrid[0:big, 0:big].astype(np.float32) / big
+    chans = []
+    for _ in range(3):
+        a, b, c = rng.uniform(-1.0, 1.0, 3)
+        th = rng.uniform(0.0, 2.0 * math.pi)
+        freq = rng.uniform(0.5, 3.0)
+        g = (
+            0.55
+            + 0.22 * (a * xx + b * yy)
+            + 0.18 * c * np.sin(
+                2.0 * math.pi * freq
+                * (xx * math.cos(th) + yy * math.sin(th))
+            )
+        )
+        chans.append(g)
+    arr = np.clip(np.stack(chans, axis=-1), 0.0, 1.0)
+    im = Image.fromarray(np.round(arr * 255.0).astype(np.uint8), "RGB")
+    draw = ImageDraw.Draw(im)
+    for _ in range(int(rng.integers(12, 30))):
+        kind = int(rng.integers(0, 3))
+        color = tuple(int(v) for v in rng.integers(0, 256, 3))
+        if kind == 0:  # ellipse
+            x0, y0 = (int(v) for v in rng.integers(0, big, 2))
+            w, h = (int(v) for v in rng.integers(big // 32, big // 3, 2))
+            draw.ellipse([x0, y0, x0 + w, y0 + h], fill=color)
+        elif kind == 1:  # rotated rectangle
+            cx, cy = (float(v) for v in rng.integers(0, big, 2))
+            w, h = (float(v) for v in rng.integers(big // 32, big // 3, 2))
+            th = rng.uniform(0.0, math.pi)
+            ct, st = math.cos(th), math.sin(th)
+            pts = [
+                (cx + ct * dx - st * dy, cy + st * dx + ct * dy)
+                for dx, dy in [(-w, -h), (w, -h), (w, h), (-w, h)]
+            ]
+            draw.polygon(pts, fill=color)
+        else:  # stroke
+            x0, y0, x1, y1 = (int(v) for v in rng.integers(0, big, 4))
+            draw.line(
+                [x0, y0, x1, y1], fill=color,
+                width=int(rng.integers(2, max(3, big // 48))),
+            )
+    return im.resize((size, size), Image.LANCZOS)
+
+
+def make_pair(large, out_dir, img_id, degrade_factor, backend="pil",
+              fmt="jpg"):
+    """Write one ``sample_<id>_large/_small`` pair from a square RGB
+    crop (the degradation model itself — see module docstring)."""
+    out_size = large.width
+    large_path = os.path.join(out_dir, f"sample_{img_id}_large.{fmt}")
+    small_path = os.path.join(out_dir, f"sample_{img_id}_small.{fmt}")
+    large.save(large_path)
+    if backend == "jax":
+        small = _degrade_jax(large, out_size, degrade_factor)
+    else:
+        small = _degrade_pil(large, out_size, degrade_factor)
+    small.save(small_path)
+    return large_path, small_path
+
+
 def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng,
                   backend="pil", fmt="jpg"):
     with Image.open(in_path) as im:
@@ -59,16 +139,8 @@ def process_image(in_path, out_dir, img_id, out_size, degrade_factor, rng,
         y = rng.randint(0, im.height - out_size)
         large = im.convert("RGB").crop((x, y, x + out_size, y + out_size))
 
-    large_path = os.path.join(out_dir, f"sample_{img_id}_large.{fmt}")
-    small_path = os.path.join(out_dir, f"sample_{img_id}_small.{fmt}")
-    large.save(large_path)
-
-    if backend == "jax":
-        small = _degrade_jax(large, out_size, degrade_factor)
-    else:
-        small = _degrade_pil(large, out_size, degrade_factor)
-    small.save(small_path)
-    return large_path, small_path
+    return make_pair(large, out_dir, img_id, degrade_factor,
+                     backend=backend, fmt=fmt)
 
 
 def main(argv=None) -> int:
@@ -76,7 +148,11 @@ def main(argv=None) -> int:
         description="Create paired *_large/*_small training samples by "
         "cropping and degrade-resampling input images."
     )
-    p.add_argument("--in-dir", "-i", required=True, help="input directory")
+    p.add_argument("--in-dir", "-i", default=None,
+                   help="input directory (omit with --synthetic)")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="generate N procedural source images instead of "
+                   "reading --in-dir (deterministic with --seed)")
     p.add_argument("--out-dir", "-o", required=True, help="output directory")
     p.add_argument("--out-size", "-s", required=True, type=int,
                    help="size of output (square) samples")
@@ -93,25 +169,42 @@ def main(argv=None) -> int:
                    "unlearnable-noise floor under training)")
     args = p.parse_args(argv)
 
-    rng = random.Random(args.seed)
-    files = sorted(
-        f for f in os.listdir(args.in_dir)
-        if os.path.isfile(os.path.join(args.in_dir, f))
-    )
+    if (args.in_dir is None) == (args.synthetic is None):
+        p.error("exactly one of --in-dir / --synthetic is required")
     os.makedirs(args.out_dir, exist_ok=True)
 
     created = []
-    for img_id, name in enumerate(files):
-        try:
+    if args.synthetic is not None:
+        import numpy as np
+
+        nprng = np.random.default_rng(args.seed)
+        src_size = max(256, args.out_size)
+        for img_id in range(args.synthetic):
+            im = synth_image(nprng, src_size)
+            x = int(nprng.integers(0, src_size - args.out_size + 1))
+            y = int(nprng.integers(0, src_size - args.out_size + 1))
+            large = im.crop((x, y, x + args.out_size, y + args.out_size))
             created.append(
-                process_image(
-                    os.path.join(args.in_dir, name), args.out_dir,
-                    img_id, args.out_size, args.degrade_factor, rng,
-                    backend=args.backend, fmt=args.fmt,
-                )
+                make_pair(large, args.out_dir, img_id, args.degrade_factor,
+                          backend=args.backend, fmt=args.fmt)
             )
-        except (OSError, ValueError) as e:
-            print(f"cannot create train samples for '{name}': {e}")
+    else:
+        rng = random.Random(args.seed)
+        files = sorted(
+            f for f in os.listdir(args.in_dir)
+            if os.path.isfile(os.path.join(args.in_dir, f))
+        )
+        for img_id, name in enumerate(files):
+            try:
+                created.append(
+                    process_image(
+                        os.path.join(args.in_dir, name), args.out_dir,
+                        img_id, args.out_size, args.degrade_factor, rng,
+                        backend=args.backend, fmt=args.fmt,
+                    )
+                )
+            except (OSError, ValueError) as e:
+                print(f"cannot create train samples for '{name}': {e}")
 
     if not created:
         print("No files were created")
