@@ -62,10 +62,13 @@ def test_generate_training_samples_synthetic(tmp_path):
 
     out = tmp_path / "samples"
     rc = g.main(["--synthetic", "4", "-o", str(out), "-s", "48", "-d", "3",
-                 "--seed", "3", "--format", "png"])
+                 "--seed", "3"])
     assert rc == 0
     names = sorted(os.listdir(str(out)))
     assert len([n for n in names if "_large" in n]) == 4
+    # synthetic mode defaults to lossless png (JPEG ringing on edge-dense
+    # synthetic content is an unlearnable-noise floor — docs/TRAINING.md)
+    assert all(n.endswith(".png") for n in names)
     for n in names:
         with Image.open(str(out / n)) as im:
             assert im.size == (48, 48) and im.mode == "RGB"
@@ -73,8 +76,10 @@ def test_generate_training_samples_synthetic(tmp_path):
     out2 = tmp_path / "samples2"
     assert g.main(["--synthetic", "4", "-o", str(out2), "-s", "48", "-d", "3",
                    "--seed", "3", "--format", "png"]) == 0
-    a = np.asarray(Image.open(str(out / "sample_2_large.png")))
-    b = np.asarray(Image.open(str(out2 / "sample_2_large.png")))
+    with Image.open(str(out / "sample_2_large.png")) as im:
+        a = np.asarray(im)
+    with Image.open(str(out2 / "sample_2_large.png")) as im:
+        b = np.asarray(im)
     np.testing.assert_array_equal(a, b)
     # synthetic content must actually contain edges (not a flat field)
     assert np.abs(np.diff(a.astype(np.float32), axis=0)).mean() > 1.0

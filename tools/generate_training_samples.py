@@ -67,7 +67,8 @@ def synth_image(rng, size: int = 256) -> Image.Image:
     import numpy as np
 
     big = size * 4
-    yy, xx = np.mgrid[0:big, 0:big].astype(np.float32) / big
+    xx = np.arange(big, dtype=np.float32)[None, :] / big
+    yy = np.arange(big, dtype=np.float32)[:, None] / big
     chans = []
     for _ in range(3):
         a, b, c = rng.uniform(-1.0, 1.0, 3)
@@ -148,29 +149,33 @@ def main(argv=None) -> int:
         description="Create paired *_large/*_small training samples by "
         "cropping and degrade-resampling input images."
     )
-    p.add_argument("--in-dir", "-i", default=None,
-                   help="input directory (omit with --synthetic)")
-    p.add_argument("--synthetic", type=int, default=None, metavar="N",
-                   help="generate N procedural source images instead of "
-                   "reading --in-dir (deterministic with --seed)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--in-dir", "-i", default=None, help="input directory")
+    src.add_argument("--synthetic", type=int, default=None, metavar="N",
+                     help="generate N procedural source images instead of "
+                     "reading --in-dir (deterministic with --seed)")
     p.add_argument("--out-dir", "-o", required=True, help="output directory")
     p.add_argument("--out-size", "-s", required=True, type=int,
                    help="size of output (square) samples")
     p.add_argument("--degrade-factor", "-d", type=float, default=2,
                    help="downscale factor used to produce the degraded image")
-    p.add_argument("--seed", type=int, default=None, help="crop RNG seed")
+    p.add_argument("--seed", type=int, default=None,
+                   help="RNG seed: crop positions (--in-dir mode) or all "
+                   "procedural content + crops (--synthetic mode)")
     p.add_argument("--backend", choices=["pil", "jax"], default="pil",
                    help="degradation backend: PIL (host) or the framework's "
                    "on-device jitted resize")
-    p.add_argument("--format", choices=["jpg", "png"], default="jpg",
+    p.add_argument("--format", choices=["jpg", "png"], default=None,
                    dest="fmt",
                    help="sample file format: jpg (reference parity) or png "
                    "(lossless — JPEG ringing on edge-dense content puts an "
-                   "unlearnable-noise floor under training)")
+                   "unlearnable-noise floor under training). Default: jpg "
+                   "for --in-dir, png for --synthetic (whose edge-dense "
+                   "content hits that floor hard — docs/TRAINING.md)")
     args = p.parse_args(argv)
 
-    if (args.in_dir is None) == (args.synthetic is None):
-        p.error("exactly one of --in-dir / --synthetic is required")
+    if args.fmt is None:
+        args.fmt = "png" if args.synthetic is not None else "jpg"
     os.makedirs(args.out_dir, exist_ok=True)
 
     created = []
