@@ -1,0 +1,60 @@
+"""The committed pretrained checkpoint must stay loadable and useful.
+
+Guards the `pretrained/` artifact (trained in-repo on `--synthetic`
+data — see pretrained/README.md): reference-format JSON loads through
+the normal codec, shapes match the flagship config, and the network
+actually beats bicubic PSNR(Y) on a held-out synthetic image — a drift
+test for the whole load→forward→swap-luma chain, not just the file."""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+CKPT = os.path.join(REPO, "pretrained", "srcnn_9-5-5_synthetic.json")
+CFG = os.path.join(REPO, "configs", "srcnn_9-5-5_pretrained.json")
+
+
+def test_pretrained_checkpoint_loads():
+    from cnn_sr_tpu.utils.config import read_config
+    from cnn_sr_tpu.utils.params_io import load_parameters_file
+
+    cfg = read_config(CFG)
+    assert cfg.zero_mean_target and not cfg.last_layer_relu_gate
+    assert cfg.parameters_file == "pretrained/srcnn_9-5-5_synthetic.json"
+    params, epochs = load_parameters_file(CKPT, cfg.layer_specs())
+    assert epochs == 16000
+    shapes = [p["w"].shape for p in params]
+    assert shapes == [(9, 9, 1, 64), (5, 5, 64, 32), (5, 5, 32, 1)]
+    for p in params:
+        assert np.isfinite(p["w"]).all() and np.isfinite(p["b"]).all()
+
+
+def test_pretrained_checkpoint_beats_bicubic():
+    from generate_training_samples import _degrade_pil, synth_image
+
+    from cnn_sr_tpu.api import upscale_image
+    from cnn_sr_tpu.utils.config import read_config
+    from cnn_sr_tpu.utils.metrics import psnr_y
+    from cnn_sr_tpu.utils.params_io import load_parameters_file
+
+    cfg = read_config(CFG)
+    params, _ = load_parameters_file(CKPT, cfg.layer_specs())
+
+    # held-out draw (seed differs from the training/eval/demo sets)
+    rng = np.random.default_rng(123456)
+    gt = synth_image(rng, 128)
+    degraded = _degrade_pil(gt, 128, 3)
+    gt_rgb = np.asarray(gt)
+    deg_rgb = np.asarray(degraded)
+    rgba = np.dstack(
+        [deg_rgb, np.full(deg_rgb.shape[:2], 255, np.uint8)]
+    )
+
+    out = upscale_image(cfg, params, rgba)
+    base = psnr_y(gt_rgb, deg_rgb)
+    net = psnr_y(gt_rgb, out)
+    assert net > base + 0.1, (base, net)
