@@ -68,11 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
         "JSON alone resets momentum on resume)",
     )
     p.add_argument(
-        "--train-precision", choices=("highest", "high", "default"),
+        "--train-precision", choices=("highest", "high", "default", "bf16"),
         default="highest",
         help="conv MXU precision of the training step: 'highest' is exact "
         "reference parity (default); 'high' trades ~1e-4 relative gradient "
-        "error for ~1.7x speed (docs/BENCHMARKS.md)",
+        "error for ~1.7x speed; 'bf16' is mixed-precision training (bf16 "
+        "forward/backward, f32 master weights and gradient accumulation) "
+        "(docs/BENCHMARKS.md)",
     )
     p.add_argument(
         "--pallas", action="store_true",
@@ -184,7 +186,8 @@ def run_training(args, cfg, profiler) -> int:
     from .training.trainer import init_train_state, train_loop
 
     _LAX_PRECISION = {"high": lax.Precision.HIGH,
-                      "default": lax.Precision.DEFAULT}
+                      "default": lax.Precision.DEFAULT,
+                      "bf16": "bf16"}  # trainer sentinel: mixed precision
     from .utils.params_io import save_parameters_file
 
     print(

@@ -137,7 +137,8 @@ def center_crop(gt: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
              precision=lax.Precision.HIGHEST,
-             relu_gate: bool = True) -> jnp.ndarray:
+             relu_gate: bool = True,
+             compute_dtype=None) -> jnp.ndarray:
     """Training loss whose gradient matches the reference's backprop:
     ``0.5 · Σ (y − crop(gt))²`` summed over pixels, channels AND samples.
 
@@ -152,8 +153,23 @@ def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
     wherever the linear output is ≤ 0, which freezes every pixel whose
     target is negative — survivable with the reference's 0..1 absolute
     targets, fatal with ``zero_mean_target``'s signed ones.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) opts into mixed-precision
+    training: parameters and activations are cast to it for the forward
+    AND the backprop through it (``precision`` is ignored — the MXU runs
+    native passes on the packed dtype), while the loss difference, the
+    loss sum, and the gradients that reach the f32 master parameters
+    (via the cast's VJP) stay float32 — the standard master-weights
+    mixed-precision scheme, here the TPU-native analog of opting out of
+    the reference's all-f32 OpenCL math for throughput.
     """
-    y = forward(params, x, precision=precision)
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+        y = forward(params, x, precision=lax.Precision.DEFAULT)
+        y = y.astype(jnp.float32)
+    else:
+        y = forward(params, x, precision=precision)
     if relu_gate:
         y = relu_backprop_gate(y)
     t = center_crop(gt, y.shape[-3], y.shape[-2])

@@ -60,10 +60,16 @@ def _grads(params, inputs, gts, num_chunks: int, precision=None,
 
     ``precision``: conv MXU precision (None = HIGHEST, the exact-parity
     default; ``lax.Precision.HIGH`` trades ~1e-4 relative gradient error
-    for ~1.7x step speed — see docs/BENCHMARKS.md).
+    for ~1.7x step speed — see docs/BENCHMARKS.md). The string
+    ``"bf16"`` selects mixed-precision training instead: bf16
+    forward/backward against f32 master weights with f32 gradient
+    accumulation (models.loss_sum ``compute_dtype``).
     ``relu_gate``: the reference's last-layer ReLU' quirk (see
     models.loss_sum)."""
-    kw = {} if precision is None else {"precision": precision}
+    if precision == "bf16":
+        kw = {"compute_dtype": jnp.bfloat16}
+    else:
+        kw = {} if precision is None else {"precision": precision}
     kw["relu_gate"] = relu_gate
     if num_chunks <= 1:
         return jax.grad(loss_sum)(params, inputs, gts, **kw)
@@ -231,7 +237,7 @@ def train_loop(
     validation_cadence: int = 25,   # Main_cl.cpp:174
     epochs_per_dispatch: int = 1,   # >1: lax.scan K epochs per device dispatch
     mesh=None,
-    precision=None,                 # None=HIGHEST parity; HIGH ≈ 1.7x faster
+    precision=None,                 # None=HIGHEST parity; HIGH ≈ 1.7x; "bf16"=mixed
     seed: Optional[int] = None,
     rng: Optional[np.random.Generator] = None,  # overrides seed (resume)
     log: Callable[[str], None] = print,

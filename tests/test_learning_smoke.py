@@ -73,3 +73,44 @@ def test_training_reduces_error_end_to_end():
     e1 = err(state.params)
     # measured ~15x at this lr; 5x leaves headroom for backend variation
     assert e1 < e0 / 5, f"training barely moved: {e0} -> {e1}"
+
+    # mixed-precision mode must optimize the same problem (bf16
+    # forward/backward, f32 master weights — models.loss_sum compute_dtype)
+    state_bf16 = init_train_state(cfg, seed=0)
+    error = train_loop(cfg, samples, state_bf16, 400, validation_percent=0,
+                       seed=0, precision="bf16", log=lambda *_: None)
+    assert not error
+    e1_bf16 = err(state_bf16.params)
+    assert e1_bf16 < e0 / 5, f"bf16 training barely moved: {e0} -> {e1_bf16}"
+
+
+def test_bf16_grads_match_f32_direction():
+    """bf16 compute gradients stay f32-typed (master-weight scheme) and
+    point the same way as the exact-parity gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from cnn_sr_tpu.models import loss_sum
+    from cnn_sr_tpu.utils.params_io import random_parameters
+
+    cfg = parse_config(CFG)
+    params = [
+        {"w": jnp.asarray(p["w"]), "b": jnp.asarray(p["b"])}
+        for p in random_parameters(cfg.layer_specs(), cfg.distributions, seed=3)
+    ]
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 20, 20, 1), np.float32))
+    t = jnp.asarray(rng.random((2, 20, 20, 1), np.float32))
+
+    g32 = jax.grad(loss_sum)(params, x, t, relu_gate=False)
+    g16 = jax.grad(loss_sum)(params, x, t, relu_gate=False,
+                             compute_dtype=jnp.bfloat16)
+    for l32, l16 in zip(g32, g16):
+        for k in ("w", "b"):
+            assert l16[k].dtype == jnp.float32
+            a = np.asarray(l32[k]).ravel()
+            b = np.asarray(l16[k]).ravel()
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.99, (k, cos)
+            # magnitudes agree to bf16-roundoff scale
+            assert np.linalg.norm(b - a) < 0.05 * np.linalg.norm(a) + 1e-6
