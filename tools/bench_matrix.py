@@ -131,6 +131,20 @@ def main():
     _emit("3_train_100_epochs_9-1-5", 1 / dt, "epochs/s",
           f"{dt * 1000:.1f} ms/epoch; reference: 236 ms/epoch (4.2 epochs/s)")
 
+    # --- 3b: same workload, mixed-precision training (opt-in) ---
+    state = init_train_state(cfg, seed=0)
+    train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
+               epochs_per_dispatch=25, seed=0, precision="bf16",
+               log=lambda *a: None)  # warmup
+    t0 = time.perf_counter()
+    train_loop(cfg, samples, state, epochs=100, validation_cadence=25,
+               epochs_per_dispatch=25, seed=1, precision="bf16",
+               log=lambda *a: None)
+    dt = (time.perf_counter() - t0) / 100
+    _emit("3b_train_100_epochs_9-1-5_bf16", 1 / dt, "epochs/s",
+          f"{dt * 1000:.1f} ms/epoch; --train-precision bf16 "
+          "(mixed precision, f32 master weights)")
+
     # --- 4: batched training with on-device-degraded inputs ---
     gts4 = jnp.asarray(rng.uniform(0, 1, (S, N, N)).astype(np.float32))
     degrade_batch = jax.jit(jax.vmap(lambda g: degrade(g, 2.0)))
