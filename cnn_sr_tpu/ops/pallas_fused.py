@@ -23,15 +23,20 @@ bfloat16 and accumulated in float32:
 * per grid step, one aligned DMA pulls a ``(tile + halo)`` window of the
   layer-1 activation (lane dim = channels padded to 128 — physically
   free, HBM tiles pad lanes anyway; the kernel slices the real C back);
-* middle layers: shared-patch im2col + output-stationary shift-add —
-  the f column-shifted channel blocks are stored ONCE into an extended
-  (oh+f−1)-row bf16 patch scratch (patches for kernel row dy+1 are a
-  one-row shift of dy's), then ONE ``(ph·ow, f·k) @ (f·k, f·n)`` bf16
-  MXU matmul computes every dy-phase at once (weights for all f kernel
-  rows packed along N), and the f phase planes are combined by static
-  shifted adds fused into the bias+ReLU. vs the earlier f separate
-  ``@ (f·k, n)`` matmuls this reads patches once instead of f times and
-  runs ⌈f·n/128⌉ MXU column passes instead of f at n/128 utilization;
+* middle layers: shared-patch im2col + output-stationary shift-add,
+  scheduled in rolling row chunks — patches for kernel row dy+1 are a
+  one-row shift of dy's, so a patch row feeds ONE ``(rows·ow, f·k) @
+  (f·k, f·n)`` bf16 MXU matmul computing every dy-phase at once
+  (weights for all f kernel rows packed along N), and the f phase
+  planes are combined by static shifted adds fused into the bias+ReLU.
+  vs f separate ``@ (f·k, n)`` matmuls this reads patches once instead
+  of f times and runs ⌈f·n/128⌉ MXU column passes instead of f at
+  n/128 utilization. Patches and phase outputs (Z) materialize only
+  ``chunk_rows`` (+f−1 for Z) rows at a time: each chunk builds its
+  patch rows, lands its Z rows after the f−1 rows rolled over from the
+  previous chunk, and immediately emits its output rows — full-height
+  Z scratch made deep stacks scoped-VMEM-bound (7-layer RGB at 64×128
+  carried ~90 MB and 64×256 blew the 100 MB budget);
 * the last layer (n_out = 1) would waste 127/128 MXU lanes, so patches
   are multiplied by the broadcast weight row and lane-reduced on the
   VPU in f32.
@@ -58,8 +63,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.fast_forward import _conv_first
 
-# M-chunk (in patch rows) of the middle layers' all-phase matmul; bounds
-# the per-dot operand/result stack transients (scoped-VMEM limited)
+# Default row-chunk of the middle layers' rolling all-phase matmul:
+# bounds BOTH the per-dot operand/result stack transients and the
+# persistent Z/patch scratch (chunk_rows+f−1 resp. chunk_rows rows per
+# f>1 layer). Deep stacks (>4 layers) halve it to fit scoped VMEM.
 _MM_CHUNK_ROWS = 32
 
 # Perf-triage knob (tools/kernel_triage.py): stages named here are
@@ -73,10 +80,13 @@ _DEBUG_SKIP: frozenset = frozenset()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype")
+    jax.jit,
+    static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
+                     "chunk_rows"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
-                       interpret: bool = False, dtype=jnp.bfloat16):
+                       interpret: bool = False, dtype=jnp.bfloat16,
+                       chunk_rows: int = _MM_CHUNK_ROWS):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -194,7 +204,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # r−dy; out[i] = Σ_dy Z[i+dy, dy-block] — f static shifted adds
         # fused into the bias+ReLU. Patches feed the MXU once (vs f×) and
         # the matmul runs at f·n lanes wide (vs f dispatches n wide).
-        ch = _MM_CHUNK_ROWS
+        ch = chunk_rows
         for li in range(n_layers - 1):
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
@@ -226,29 +236,46 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             ph = oh + f - 1
             if "mid" in _DEBUG_SKIP:
                 continue  # triage
-            if "patch" not in _DEBUG_SKIP:
-                for dx in range(f):
-                    p_ref[:, :, dx * k : (dx + 1) * k] = src[
-                        0:ph, dx : dx + ow, 0:k
-                    ].astype(dtype)
-            # chunk the all-phase matmul over M (static 32-row slabs of
-            # the 8-aligned patch buffer): one full-height dot's operand
-            # + result transients alone blow the scoped-VMEM budget at
-            # 1080p tiles, while 32·ow-row dots keep the MXU saturated
-            # at ~8 MB of stack
-            for c0 in range(0, oh + f - 1, ch):
-                ce = min(c0 + ch, ph)
-                z_ref[c0:ce] = jnp.dot(
-                    p_ref[c0:ce].reshape((ce - c0) * ow, f * k),
+            # Rolling-chunk schedule: Z never materializes at full height.
+            # Patch rows [zs, ze) are built into a ch-row scratch, ONE
+            # (len·ow, f·k) @ (f·k, f·n) dot lands them at z_ref rows
+            # [f−1, f−1+len), and the f−1 trailing Z rows of the previous
+            # chunk — rolled to rows [0, f−1) — complete the shifted-add
+            # window, so each chunk immediately emits its output rows.
+            # vs a full-height Z this cuts the scratch from (oh+f−1) to
+            # (ch+f−1) rows per layer with zero recompute (deep stacks
+            # were scoped-VMEM-bound: 7-layer RGB at 64×128 ran ~90 MB of
+            # per-layer Z+patch, and 64×256 blew the 100 MB budget).
+            # Chunked dots also keep per-dot operand/result transients
+            # small (a full-height dot's stack alone blew the budget).
+            for zs in range(0, ph, ch):
+                ze = min(zs + ch, ph)
+                if zs > 0:
+                    # previous chunk's Z rows [zs−(f−1), zs) sit at
+                    # [ch, ch+f−1); roll them to the window head
+                    z_ref[0 : f - 1] = z_ref[ch : ch + f - 1]
+                if "patch" not in _DEBUG_SKIP:
+                    for dx in range(f):
+                        p_ref[0 : ze - zs, :, dx * k : (dx + 1) * k] = src[
+                            zs:ze, dx : dx + ow, 0:k
+                        ].astype(dtype)
+                z_ref[f - 1 : f - 1 + ze - zs] = jnp.dot(
+                    p_ref[0 : ze - zs].reshape((ze - zs) * ow, f * k),
                     w_ref[...],
                     preferred_element_type=jnp.float32,
-                ).reshape(ce - c0, ow, f * n)
-
-            val = z_ref[0:oh, :, 0:n]
-            for dy in range(1, f):
-                val = val + z_ref[dy : dy + oh, :, dy * n : (dy + 1) * n]
-            act_refs[li][...] = jnp.maximum(
-                val + b_ref[...], 0.0).astype(act_dt)
+                ).reshape(ze - zs, ow, f * n)
+                # out rows whose full f-row Z window is now resident
+                o0 = max(0, zs - (f - 1))
+                o1 = ze - (f - 1)
+                lo = o0 - zs + f - 1  # z_ref row of Z row o0
+                val = z_ref[lo : lo + o1 - o0, :, 0:n]
+                for dy in range(1, f):
+                    val = val + z_ref[
+                        lo + dy : lo + dy + o1 - o0, :,
+                        dy * n : (dy + 1) * n,
+                    ]
+                act_refs[li][o0:o1] = jnp.maximum(
+                    val + b_ref[...], 0.0).astype(act_dt)
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -295,16 +322,18 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         scratch_shapes.append(
             pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), act_dts[li])
         )
-    for li in pz_idx:  # f32 all-phase matmul outputs (Z), f>1 layers only
+    # rolling-chunk Z / patch scratch, f>1 layers only: (ch+f−1) resp. ch
+    # rows regardless of tile height (see the kernel's chunk schedule)
+    for li in pz_idx:  # f32 all-phase matmul outputs (Z)
         scratch_shapes.append(
             pltpu.VMEM(
-                (hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
+                (chunk_rows + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
                 jnp.float32,
             )
         )
-    for li in pz_idx:  # extended patch buffers (height oh+f−1)
+    for li in pz_idx:  # patch chunk buffers
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1] + fs[li] - 1, ws[li + 1], fs[li] * ks[li]), dtype)
+            pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
         )
 
     out = pl.pallas_call(
@@ -322,7 +351,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ] * n_out,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # v5e carries 128 MB VMEM/core; leave ~12 MB for XLA's own
+            # buffers outside the kernel (100 MB left deep-stack tiles
+            # scoped-OOM — the compiler reports the exact overage)
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ap, *wbs)
@@ -380,7 +412,7 @@ def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
 
 
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
-                  dtype=jnp.bfloat16):
+                  dtype=jnp.bfloat16, chunk_rows: int = 0):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     XLA builds the first layer's im2col patch array; ALL conv layers run
@@ -395,13 +427,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     from ..models import forward as _xla_forward
 
     # default tiles: best measured 64x256 on SRCNN 9-5-5 (width bounded
-    # by scoped VMEM: the all-phase Z + patch scratch at lane-padded
-    # widths); small tiles for deep stacks — the Mosaic remote compiler
-    # crashes on the larger per-layer scratch IR of deep models
+    # by scoped VMEM: per-layer activations + rolling Z/patch chunks at
+    # lane-padded widths); deep stacks halve the chunk to fit — their
+    # Z/patch scratch count scales with the f>1 layer count
     if tile_h <= 0:
         tile_h = 64
     if tile_w <= 0:
-        tile_w = 256 if len(params) <= 4 else 128
+        tile_w = 256
+    if chunk_rows <= 0:
+        chunk_rows = _MM_CHUNK_ROWS if len(params) <= 4 else _MM_CHUNK_ROWS // 2
+    chunk_rows = max(8, chunk_rows // 8 * 8)
     tile_h = max(8, tile_h // 8 * 8)
     tile_w = max(128, tile_w // 128 * 128)  # out block lane dim: 128-multiple
 
@@ -439,7 +474,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
     outs = [
         _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
-                           interpret=interpret, dtype=dtype)
+                           interpret=interpret, dtype=dtype,
+                           chunk_rows=chunk_rows)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -72,6 +72,35 @@ def test_fallback_paths():
     )
 
 
+def test_fused_multichunk_rolling_z():
+    """Tile heights that push the mid layers past one Z chunk
+    (_MM_CHUNK_ROWS=32) exercise the rolling-window schedule: full
+    chunks, a short tail chunk, and the f−1-row roll between them."""
+    rng = np.random.default_rng(5)
+    # f=5 mids at tile_h=64: ph=72 → chunks 32+32+8 with f−1=4-row rolls
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 90, 150, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=64, tile_w=128, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_deep_stack_multichunk():
+    """waifu2x-mini: 7 layers of f=3 at tile_h=48 → per-layer ph runs
+    60..50, i.e. 32-row chunk + tails of varying length, per layer."""
+    rng = np.random.default_rng(6)
+    params = _params(
+        rng,
+        [(3, 3, 8), (3, 8, 8), (3, 8, 8), (3, 8, 8),
+         (3, 8, 16), (3, 16, 16), (3, 16, 3)],
+    )
+    x = jnp.asarray(rng.standard_normal((1, 70, 140, 3)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=48, tile_w=128, dtype=jnp.float32)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_fused_rgb_output():
     """n_out=3 (RGB model family) through the fused kernel."""
     rng = np.random.default_rng(4)
