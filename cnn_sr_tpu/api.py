@@ -23,18 +23,22 @@ from .ops.color import extract_luma, subtract_mean, swap_luma, swap_rgb
 from .utils.config import Config
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
 def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
-                      add_mean: bool = False):
+                      add_mean: bool = False, pallas_f32: bool = False):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), luma-channel model.
     ``add_mean``: the model predicts mean-relative luma
-    (config ``zero_mean_target``) — add the input mean back."""
+    (config ``zero_mean_target``) — add the input mean back.
+    ``pallas_f32``: run the fused kernel in exact f32 instead of the
+    bf16 stream (~2-3x slower; negligible for shallow models, but deep
+    stacks compound bf16 rounding — see docs/BENCHMARKS.md)."""
     luma = extract_luma(rgba, normalize=True)
     luma0, mean = subtract_mean(luma)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
-        y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, luma0[None, ..., None], dtype=dt)[0, ..., 0]
     else:
         y = forward(params, luma0[None, ..., None])[0, ..., 0]
     if add_mean:
@@ -42,9 +46,9 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
     return swap_luma(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
 def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
-                     add_mean: bool = False):
+                     add_mean: bool = False, pallas_f32: bool = False):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), full-RGB model
     (extended waifu2x-style variant)."""
     rgb = rgba[..., :3].astype(jnp.float32) / 255.0
@@ -56,7 +60,8 @@ def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
-        y = fused_forward(params, (rgb - mean)[None])[0]
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, (rgb - mean)[None], dtype=dt)[0]
     else:
         y = forward(params, (rgb - mean)[None])[0]
     if add_mean:
@@ -64,9 +69,10 @@ def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
     return swap_rgb(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
 def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
-                         use_pallas: bool = False, add_mean: bool = False):
+                         use_pallas: bool = False, add_mean: bool = False,
+                         pallas_f32: bool = False):
     """Net luma output for an edge-padded image whose valid region is
     (valid_h, valid_w) — traced scalars, so ONE compiled program serves
     every image that rounds up to the same bucket shape.
@@ -87,7 +93,8 @@ def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
-        y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, luma0[None, ..., None], dtype=dt)[0, ..., 0]
     else:
         y = forward(params, luma0[None, ..., None])[0, ..., 0]
     return y + mean if add_mean else y
@@ -133,7 +140,8 @@ def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int):
     return np.asarray(_swap_rgb_jit(jnp.asarray(rgba), y_valid))
 
 
-def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool):
+def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool,
+                           pallas_f32: bool = False):
     """Pad H/W up to multiples of ``bucket`` (edge replication) so the
     expensive conv program compiles once per bucket instead of once per
     image shape; only the cheap swap-luma program is shape-specific."""
@@ -145,7 +153,7 @@ def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool):
     y = _luma_forward_padded(
         params, jnp.asarray(padded),
         jnp.int32(h), jnp.int32(w), use_pallas=use_pallas,
-        add_mean=cfg.zero_mean_target,
+        add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32,
     )
     y_valid = y[: h - shrink, : w - shrink]
     return np.asarray(_swap_luma_jit(jnp.asarray(rgba), y_valid))
@@ -157,6 +165,7 @@ def upscale_image(
     rgba: np.ndarray,
     use_pallas: bool = False,
     bucket: int = 0,
+    pallas_precision: str = "bf16",
 ) -> np.ndarray:
     """Run the network over a decoded uint8 RGBA image; returns uint8 RGB.
 
@@ -168,26 +177,34 @@ def upscale_image(
     conv program compiles once per bucket instead of once per exact image
     size (results are identical; recommended 64 when processing many
     differently-sized images).
+
+    ``pallas_precision``: "bf16" (default stream) or "f32" (exact fused
+    kernel) — only meaningful with ``use_pallas``. Shallow models lose
+    <0.01 dB to bf16; deep stacks compound the rounding (the 7-layer RGB
+    checkpoint measures ~0.9 dB better under f32 — docs/BENCHMARKS.md).
     """
+    pallas_f32 = pallas_precision == "f32"
     params_j = jax.tree.map(jnp.asarray, params)
     if bucket > 0:
         if cfg.channels == 1:
             return _upscale_luma_bucketed(cfg, params_j, np.asarray(rgba),
-                                          bucket, use_pallas)
+                                          bucket, use_pallas, pallas_f32)
         return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket)
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas,
-                                add_mean=cfg.zero_mean_target)
+                                add_mean=cfg.zero_mean_target,
+                                pallas_f32=pallas_f32)
     else:
         out = _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
-                               add_mean=cfg.zero_mean_target)
+                               add_mean=cfg.zero_mean_target,
+                               pallas_f32=pallas_f32)
     return np.asarray(out)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
 def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
-                            add_mean: bool = False):
+                            add_mean: bool = False, pallas_f32: bool = False):
     """uint8 RGBA (S, H, W, 4) → uint8 RGB (S, H, W, 3) — batched luma
     pipeline in one program (the batch axis also shards over a "data"
     mesh axis under jit, giving multi-chip batched inference for free)."""
@@ -197,7 +214,8 @@ def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
-        ys = fused_forward(params, lumas0[..., None])[..., 0]
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        ys = fused_forward(params, lumas0[..., None], dtype=dt)[..., 0]
     else:
         ys = forward(params, lumas0[..., None])[..., 0]
     if add_mean:
@@ -210,17 +228,21 @@ def upscale_batch(
     params,
     rgbas: np.ndarray,
     use_pallas: bool = False,
+    pallas_precision: str = "bf16",
 ) -> np.ndarray:
     """Batched upscaling of same-sized images (S, H, W, 4) → (S, H, W, 3)."""
+    pallas_f32 = pallas_precision == "f32"
     params_j = jax.tree.map(jnp.asarray, params)
     imgs = jnp.asarray(rgbas)
     if cfg.channels == 1:
         out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas,
-                                      add_mean=cfg.zero_mean_target)
+                                      add_mean=cfg.zero_mean_target,
+                                      pallas_f32=pallas_f32)
     else:
         out = jnp.stack([
             _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
-                             add_mean=cfg.zero_mean_target)
+                             add_mean=cfg.zero_mean_target,
+                             pallas_f32=pallas_f32)
             for img in imgs
         ])
     return np.asarray(out)

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="use the fused Pallas forward kernel for inference",
     )
     p.add_argument(
+        "--pallas-precision", choices=("bf16", "f32"), default="bf16",
+        help="fused-kernel stream precision: bf16 (fast, <0.01 dB on "
+        "shallow models) or f32 (exact; recommended for deep stacks, "
+        "which compound bf16 rounding — docs/BENCHMARKS.md)",
+    )
+    p.add_argument(
         "--scale", type=float, default=1.0,
         help="upscale the input on-device by this factor before the net "
         "(the reference requires pre-upscaled input; this fuses that step)",
@@ -129,6 +135,7 @@ def run_forward(args, cfg, profiler) -> int:
     out = profiler.timed(
         "upscale (jit: luma+forward+swap)",
         upscale_image, cfg, state.params, rgba, args.pallas, args.bucket,
+        args.pallas_precision,
     )
 
     if args.out_path:
@@ -167,7 +174,8 @@ def _run_forward_dir(args, cfg, state, profiler) -> int:
 
             rgba = np.asarray(upscale_rgba(rgba, args.scale))
         out = profiler.timed("upscale", upscale_image, cfg, state.params,
-                             rgba, args.pallas, args.bucket)
+                             rgba, args.pallas, args.bucket,
+                             args.pallas_precision)
         if args.out_path:
             stem = os.path.splitext(name)[0]
             dst = os.path.join(args.out_path, f"{stem}_sr.png")

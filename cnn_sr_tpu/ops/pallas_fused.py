@@ -433,7 +433,10 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     if tile_h <= 0:
         tile_h = 64
     if tile_w <= 0:
-        tile_w = 256
+        # deep stacks in full f32 double every window/act/patch buffer:
+        # 64×256 ran the chip out of total VMEM (132.3/128 MB measured);
+        # 128-wide fits with room
+        tile_w = 128 if (len(params) > 4 and dtype == jnp.float32) else 256
     if chunk_rows <= 0:
         chunk_rows = _MM_CHUNK_ROWS if len(params) <= 4 else _MM_CHUNK_ROWS // 2
     chunk_rows = max(8, chunk_rows // 8 * 8)

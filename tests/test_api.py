@@ -37,6 +37,20 @@ def test_upscale_batch_matches_single():
         np.testing.assert_array_equal(batched[i], single)
 
 
+def test_upscale_pallas_f32_matches_xla():
+    """pallas_precision="f32" through the public API: exact parity with
+    the XLA path (bf16 default is tolerance-only — deep stacks compound
+    its rounding, which is why the knob exists)."""
+    cfg = parse_config({**CFG, "n1": 8, "n2": 8, "f1": 9, "f2": 5, "f3": 5})
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=2)
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, (40, 140, 4), dtype=np.uint8)
+    ref = upscale_image(cfg, params, rgba)
+    out = upscale_image(cfg, params, rgba, use_pallas=True,
+                        pallas_precision="f32")
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
 @pytest.mark.parametrize("k_in", [1, 3])
 def test_fast_forward_f32_matches_conv(k_in):
     rng = np.random.default_rng(2)

@@ -38,6 +38,10 @@ def main(argv=None) -> int:
                    "when --degrade is given")
     p.add_argument("--degrade", "-d", type=float, default=None,
                    help="degrade plain images by this factor on the fly")
+    p.add_argument("--pallas-precision", choices=("bf16", "f32"),
+                   default="bf16",
+                   help="fused-kernel precision (f32 recommended for deep "
+                   "stacks — they compound bf16 rounding)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas inference path")
     p.add_argument("--seed", type=int, default=None)
@@ -88,7 +92,8 @@ def main(argv=None) -> int:
     bicubic_scores, net_scores = [], []
     print(f"{'image':<28} {'bicubic':>9} {'network':>9} {'delta':>8}")
     for name, gt, degraded in pairs:
-        out = upscale_image(cfg, state.params, degraded, use_pallas=args.pallas)
+        out = upscale_image(cfg, state.params, degraded, use_pallas=args.pallas,
+                            pallas_precision=args.pallas_precision)
         # compare only the center the net actually computed
         gt3 = gt[..., :3]
         c = (slice(pad, gt3.shape[0] - pad), slice(pad, gt3.shape[1] - pad))
