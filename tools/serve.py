@@ -78,10 +78,12 @@ class DeviceWorker(threading.Thread):
     def __init__(self, slots: dict, use_pallas: bool = False,
                  scale: float = 1.0, max_batch: int = 8,
                  batch_wait_ms: float = 3.0, bucket: int = 0,
-                 job_timeout_s: float = 600.0):
+                 job_timeout_s: float = 600.0,
+                 pallas_precision: str = "bf16"):
         super().__init__(daemon=True, name="device-worker")
         self.slots = slots
         self.use_pallas = use_pallas
+        self.pallas_precision = pallas_precision
         self.scale = scale
         self.max_batch = max(1, max_batch)
         self.batch_wait_s = max(0.0, batch_wait_ms) / 1e3
@@ -174,7 +176,8 @@ class DeviceWorker(threading.Thread):
             rgbas = [self._pre_scale(j.rgba) for j in jobs]
             if len(jobs) > 1 and cfg.channels == 1:
                 outs = upscale_batch(cfg, params, np.stack(rgbas),
-                                     use_pallas=self.use_pallas)
+                                     use_pallas=self.use_pallas,
+                                     pallas_precision=self.pallas_precision)
                 for j, out in zip(jobs, outs):
                     j.result = np.asarray(out)
                 with self.lock:
@@ -183,7 +186,8 @@ class DeviceWorker(threading.Thread):
                 for j, rgba in zip(jobs, rgbas):
                     j.result = upscale_image(
                         cfg, params, rgba,
-                        use_pallas=self.use_pallas, bucket=self.bucket)
+                        use_pallas=self.use_pallas, bucket=self.bucket,
+                        pallas_precision=self.pallas_precision)
             with self.lock:
                 self.stats["ok"] += len(jobs)
         except Exception as e:  # noqa: BLE001 — reported per job to clients
@@ -302,11 +306,13 @@ def load_slot(config_path: str, seed=None) -> dict:
 def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
                 use_pallas: bool = False, scale: float = 1.0,
                 max_batch: int = 8, batch_wait_ms: float = 3.0,
-                bucket: int = 0, job_timeout_s: float = 600.0):
+                bucket: int = 0, job_timeout_s: float = 600.0,
+                pallas_precision: str = "bf16"):
     """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
     worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
-                          bucket=bucket, job_timeout_s=job_timeout_s)
+                          bucket=bucket, job_timeout_s=job_timeout_s,
+                          pallas_precision=pallas_precision)
     server = ThreadingHTTPServer((host, port), build_handler(worker))
     return server, worker
 
@@ -321,6 +327,10 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8200)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--pallas-precision", choices=("bf16", "f32"),
+                   default="bf16",
+                   help="fused-kernel precision; f32 recommended when "
+                   "serving deep models (docs/BENCHMARKS.md)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max-batch", type=int, default=8,
@@ -354,7 +364,8 @@ def main(argv=None) -> int:
         slots, args.host, args.port, use_pallas=args.pallas,
         scale=args.scale, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, bucket=args.bucket,
-        job_timeout_s=args.job_timeout)
+        job_timeout_s=args.job_timeout,
+        pallas_precision=args.pallas_precision)
     worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")
