@@ -82,17 +82,27 @@ _DEBUG_SKIP: frozenset = frozenset()
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
-                     "chunk_rows"),
+                     "chunk_rows", "pack_last"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
-                       chunk_rows: int = _MM_CHUNK_ROWS):
+                       chunk_rows: int = _MM_CHUNK_ROWS,
+                       pack_last: int = 1):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
     ``wbs``: flat [w2, b2, ..., wL, bL] pre-reshaped weights
     (see ``_prepare_tail_weights``) in ``dtype`` (biases f32);
     ``dims``: static ((f, k, n), ...) per tail layer.
+
+    ``pack_last`` = P > 1 turns on the packed-dx last layer: the
+    producer layer stores P column-shifted copies of its output in the
+    lane groups of the last layer's input ref (lane c·k+j holds
+    act[y, x+c, j] — the ref's 128-lane pad is already paid, so the
+    copies are free VMEM-wise), and each last-layer FMA then covers P
+    dx-taps at once (f·⌈f/P⌉ FMAs instead of f² at k/128 lane
+    utilization); the final lane reduction sums over (c, j) — i.e. over
+    both the packed dx-group and k — which is exactly the conv sum.
     """
     n_layers = len(wbs) // 2
     fs = [d[0] for d in dims]
@@ -196,6 +206,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
 
             get_dma(slot, g).wait()
 
+        def store_act(li, r0, r1, v):
+            # producer of a packed-dx last layer: store P column-shifted
+            # copies in the lane groups (lane-group stores at n-multiples,
+            # the same pattern as the patch build's dx·k stores)
+            if li == n_layers - 2 and pack_last > 1:
+                n = ns[li]
+                vp = jnp.pad(v, ((0, 0), (0, pack_last - 1), (0, 0)))
+                for c in range(pack_last):
+                    act_refs[li][r0:r1, :, c * n : (c + 1) * n] = vp[
+                        :, c : c + v.shape[1], :
+                    ]
+            else:
+                act_refs[li][r0:r1] = v
+
         # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
         # patch buffer of height ph=oh+f−1 is built (f static stores).
@@ -226,9 +250,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         w_ref[...],
                         preferred_element_type=jnp.float32,
                     )
-                    act_refs[li][c0:ce] = jnp.maximum(
+                    store_act(li, c0, ce, jnp.maximum(
                         y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
-                    ).astype(act_dt)
+                    ).astype(act_dt))
                 continue
 
             z_ref = z_refs[pz_idx[li]]
@@ -274,8 +298,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         lo + dy : lo + dy + o1 - o0, :,
                         dy * n : (dy + 1) * n,
                     ]
-                act_refs[li][o0:o1] = jnp.maximum(
-                    val + b_ref[...], 0.0).astype(act_dt)
+                store_act(li, o0, o1, jnp.maximum(
+                    val + b_ref[...], 0.0).astype(act_dt))
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -291,19 +315,27 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         if "last" in _DEBUG_SKIP:
             return  # triage: outputs stay garbage
 
+        QL = -(-fL // pack_last)
+
         def last_rowblock(rb, _):
-            band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1, 0:kL]
+            band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1,
+                       0 : pack_last * kL]
             # one 2D output ref per channel (a lane-index store into one
             # (th, tw, n_out) ref would need unsupported 1-lane writes);
             # the band value is loaded once and reused by every channel
             for ch in range(nL):
-                acc3 = jnp.zeros((RB, owL, kL), jnp.float32)
+                acc3 = jnp.zeros((RB, owL, band.shape[-1]), jnp.float32)
                 for dy in range(fL):
-                    for dx in range(fL):
-                        # wL is (f², n_out, k): [tap][ch:ch+1] → (1, k) row
+                    for q in range(QL):
+                        # packed: lane c·k+j of band col x holds
+                        # act[·, x+c, j], so this FMA covers dx-taps
+                        # q·P..q·P+P−1; wL is (f·Q, n_out, P·k) with the
+                        # matching per-tap weight rows (zeros past f).
+                        # P=1 degenerates to the plain per-(dy,dx) form.
                         acc3 = acc3 + (
-                            band[dy : dy + RB, dx : dx + owL, :]
-                            * wL_ref[dy * fL + dx][ch : ch + 1, :].astype(jnp.float32)
+                            band[dy : dy + RB,
+                                 q * pack_last : q * pack_last + owL, :]
+                            * wL_ref[dy * QL + q][ch : ch + 1, :].astype(jnp.float32)
                         )
                 out_refs[ch][pl.ds(rb * RB, RB), :] = (
                     jnp.sum(acc3, axis=-1) + bL_ref[ch]
@@ -319,8 +351,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     for li in range(n_layers - 1):  # middle-layer activations
         # (all slicing of act refs is static, so packed `dtype` storage is
         # legal; the last layer's f32 input keeps VPU accumulation exact)
+        # the packed-dx producer widens its lane dim to P·n — VMEM-free,
+        # the ref's lane pad to 128 was already paid
+        lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
         scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], ns[li]), act_dts[li])
+            pltpu.VMEM((hs[li + 1], ws[li + 1], lanes), act_dts[li])
         )
     # rolling-chunk Z / patch scratch, f>1 layers only: (ch+f−1) resp. ch
     # rows regardless of tile height (see the kernel's chunk schedule)
@@ -389,16 +424,28 @@ def _im2col_patches(x, f: int, dtype):
     return planes.transpose(0, 2, 3, 1)
 
 
-def _prepare_tail_weights(params, dtype) -> List[jnp.ndarray]:
+def _prepare_tail_weights(params, dtype, pack_last: int = 1) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
     (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n);
-    last → (f², n, k). Weights in ``dtype``, biases f32."""
+    last → (f², n, k), or packed-dx (f·⌈f/P⌉, n, P·k) when
+    ``pack_last`` = P > 1 (row dy·Q+q, lane c·k+j = w[dy, q·P+c, j, n],
+    zeros for taps past f). Weights in ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if li == n_layers - 1:
+        if li == n_layers - 1 and pack_last > 1:
+            q_cnt = -(-f // pack_last)
+            wt = w.transpose(0, 1, 3, 2)  # (f, dx, n, k)
+            wt = jnp.pad(wt, ((0, 0), (0, q_cnt * pack_last - f),
+                              (0, 0), (0, 0)))
+            wbs.append(
+                wt.reshape(f, q_cnt, pack_last, n, k)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(f * q_cnt, n, pack_last * k)
+            )
+        elif li == n_layers - 1:
             # (f, f, k, n) → (f², n, k), kept f32 (the last layer runs on
             # the VPU in f32; rows are indexed statically per tap/channel)
             wbs.append(w.reshape(f * f, k, n).transpose(0, 2, 1))
@@ -461,6 +508,10 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
 
     f1, _, c1, n1 = params[0]["w"].shape
     kpack = f1 * f1 * c1
+    # packed-dx last layer: P shifted copies fill the producer ref's
+    # (already-paid) 128-lane pad, P taps per last-layer FMA
+    fL, kL = params[-1]["w"].shape[0], params[-1]["w"].shape[2]
+    pack_last = max(1, min(fL, 128 // kL))
     tail_dims = tuple(
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
@@ -469,16 +520,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
         dims = ((1, kpack, n1),) + tail_dims
         wbs = [w1.reshape(kpack, n1).astype(dtype), b1]
-        wbs += _prepare_tail_weights(params[1:], dtype)
+        wbs += _prepare_tail_weights(params[1:], dtype, pack_last)
         a1 = _im2col_patches(x, f1, dtype)
     else:
         dims = tail_dims
-        wbs = _prepare_tail_weights(params[1:], dtype)
+        wbs = _prepare_tail_weights(params[1:], dtype, pack_last)
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
     outs = [
         _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
                            interpret=interpret, dtype=dtype,
-                           chunk_rows=chunk_rows)
+                           chunk_rows=chunk_rows, pack_last=pack_last)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

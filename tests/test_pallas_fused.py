@@ -101,6 +101,37 @@ def test_fused_deep_stack_multichunk():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_packed_dx_last_layer_groups():
+    """The packed-dx last layer (producer stores P column-shifted lane
+    groups; each FMA covers P dx-taps) across its group shapes:
+    k=32 → P=4, Q=2 (the flagship class: a full group + a ragged one
+    whose pad taps must stay zero); k=8, f=3 → P=3, Q=1 (P·k < 128
+    lanes); f=1 last layer → packing disabled (P=1)."""
+    rng = np.random.default_rng(7)
+    # flagship class: k=32 last layer, f=5 → P=4, Q=2
+    params = _params(rng, [(9, 1, 8), (5, 8, 32), (5, 32, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 70, 150, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+    # f=3, k=8 → P=3: 24 live lanes, no ragged group
+    params = _params(rng, [(5, 1, 8), (3, 8, 8), (3, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 50, 140, 1)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_forward(params, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32)),
+        np.asarray(forward(params, x)), rtol=1e-5, atol=1e-5,
+    )
+    # f=1 last layer: pack_last must degenerate to 1
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (1, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 60, 140, 1)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_forward(params, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32)),
+        np.asarray(forward(params, x)), rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_fused_rgb_output():
     """n_out=3 (RGB model family) through the fused kernel."""
     rng = np.random.default_rng(4)

@@ -14,10 +14,15 @@ Methodology matches bench.py: dependency-chained ``lax.scan`` with a
 forced host readback (this setup pipelines dispatch and does not
 reliably block on small outputs). Run on the real chip; takes a few
 minutes of compiles on first run.
+
+``--json PATH`` additionally writes the whole matrix as one JSON
+document (committed as BENCH_MATRIX.json at the repo root so the
+measured per-config numbers travel with the code).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -26,6 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+_ROWS: list[dict] = []
 
 
 def _chained_image_bench(pipeline, img, iters=8):
@@ -49,12 +56,19 @@ def _chained_image_bench(pipeline, img, iters=8):
 
 
 def _emit(name, value, unit, extra=""):
-    print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit}))
+    row = {"metric": name, "value": round(value, 2), "unit": unit}
+    print(json.dumps(row))
     if extra:
         print(f"#   {extra}")
+        row["note"] = extra
+    _ROWS.append(row)
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--json", metavar="PATH", default=None,
+                    help="also write the full matrix as one JSON document")
+    cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -180,6 +194,24 @@ def main():
     dt = _chained_image_bench(rgb_pipe, img, iters=4)
     _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
           "fused Pallas path (XLA path: ~20.5 MPix/s)")
+
+    if cli.json:
+        for row in _ROWS:
+            # vs_baseline: 50 MPix/s/chip target for inference rows,
+            # the reference's 4.2 epochs/s (profile.py:6) for training rows
+            base = 50.0 if row["unit"] == "MPix/s" else 4.2
+            row["vs_baseline"] = round(row["value"] / base, 3)
+        doc = {
+            "device": jax.devices()[0].device_kind,
+            "date": time.strftime("%Y-%m-%d"),
+            "baselines": {"MPix/s": "50 MPix/s/chip target (BASELINE.md)",
+                          "epochs/s": "reference 4.2 epochs/s (profile.py:6)"},
+            "rows": _ROWS,
+        }
+        with open(cli.json, "w") as f:
+            json.dump(doc, f, indent=2)
+            f.write("\n")
+        print(f"# wrote {cli.json}")
 
 
 if __name__ == "__main__":
