@@ -74,8 +74,10 @@ _MM_CHUNK_ROWS = 32
 # their cost can be measured by subtraction. NEVER set in production.
 # Keys gate code paths, not model layers: "l1" = all f==1 layers (the
 # folded first layer; on 9-1-5 also its 1x1 middle layer), "mid"/"patch"
-# = f>1 middle layers / their patch build, "last" = the VPU last layer,
-# "dma" = the window copies.
+# = f>1 middle layers / their patch build ("patch" is a no-op for
+# pre-packed consumers — shallow stacks — whose patch stores live in the
+# producer's store, gated by that producer's stage key), "last" = the
+# VPU last layer, "dma" = the window copies.
 _DEBUG_SKIP: frozenset = frozenset()
 
 
@@ -156,14 +158,30 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # the last layer's input stays f32 for the VPU tap accumulation
     act_dts = [dtype if li + 1 < n_layers - 1 else jnp.float32
                for li in range(n_layers - 1)]
+    # Producer-side patch pre-packing (shallow stacks): an f>1 middle
+    # layer's patch scratch is just f column-shifted copies of its
+    # producer's output, so the producer stores those copies directly
+    # from its in-register value (f lane-group stores, same pattern as
+    # the packed-dx last layer) and the consumer's matmul operand is a
+    # free collapse of the pre-packed ref itself — no per-chunk patch
+    # build, no re-read of the activation. Costs (f−1)·k extra act
+    # lanes per consumer; gated to shallow stacks (deep stacks are
+    # scoped-VMEM-bound and keep the rolling patch scratch).
+    prepack = frozenset(
+        li for li in range(1, n_layers - 1) if fs[li] > 1
+    ) if n_layers <= 4 else frozenset()
     # a first f=1 layer reads the whole lane-padded window: widen its
     # weight rows with zeros to match (pad lanes are zeros from `ap`)
     if fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
-    # z/patch scratch exists only for f>1 middle layers
+    # z scratch for every f>1 middle layer; patch scratch only for the
+    # ones whose input is not producer-pre-packed
     pz_idx = {li: i for i, li in enumerate(
         li for li in range(n_layers - 1) if fs[li] > 1)}
+    pp_idx = {li: i for i, li in enumerate(
+        li for li in range(n_layers - 1)
+        if fs[li] > 1 and li not in prepack)}
 
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
@@ -207,18 +225,26 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             get_dma(slot, g).wait()
 
         def store_act(li, r0, r1, v):
-            # producer of a packed-dx last layer: store P column-shifted
-            # copies in the lane groups (lane-group stores at n-multiples,
-            # the same pattern as the patch build's dx·k stores)
+            # producer of a packed-dx last layer / of a pre-packed middle
+            # layer: store C column-shifted copies in the lane groups
+            # (lane-group stores at n-multiples, the same pattern as the
+            # patch build's dx·k stores)
+            n = ns[li]
             if li == n_layers - 2 and pack_last > 1:
-                n = ns[li]
-                vp = jnp.pad(v, ((0, 0), (0, pack_last - 1), (0, 0)))
-                for c in range(pack_last):
-                    act_refs[li][r0:r1, :, c * n : (c + 1) * n] = vp[
-                        :, c : c + v.shape[1], :
-                    ]
+                cnt = pack_last
+                vv = jnp.pad(v, ((0, 0), (0, cnt - 1), (0, 0)))
+                wout = v.shape[1]
+            elif li + 1 in prepack:
+                cnt = fs[li + 1]
+                vv = v
+                wout = ws[li + 2]
             else:
                 act_refs[li][r0:r1] = v
+                return
+            for c in range(cnt):
+                act_refs[li][r0:r1, :, c * n : (c + 1) * n] = vv[
+                    :, c : c + wout, :
+                ]
 
         # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
@@ -256,7 +282,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 continue
 
             z_ref = z_refs[pz_idx[li]]
-            p_ref = p_refs[pz_idx[li]]
+            pre = li in prepack  # input ref already holds the patches
+            p_ref = None if pre else p_refs[pp_idx[li]]
             ph = oh + f - 1
             if "mid" in _DEBUG_SKIP:
                 continue  # triage
@@ -278,13 +305,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     # previous chunk's Z rows [zs−(f−1), zs) sit at
                     # [ch, ch+f−1); roll them to the window head
                     z_ref[0 : f - 1] = z_ref[ch : ch + f - 1]
-                if "patch" not in _DEBUG_SKIP:
+                if not pre and "patch" not in _DEBUG_SKIP:
                     for dx in range(f):
                         p_ref[0 : ze - zs, :, dx * k : (dx + 1) * k] = src[
                             zs:ze, dx : dx + ow, 0:k
                         ].astype(dtype)
+                operand = (src[zs:ze, 0:ow, 0 : f * k] if pre
+                           else p_ref[0 : ze - zs])
                 z_ref[f - 1 : f - 1 + ze - zs] = jnp.dot(
-                    p_ref[0 : ze - zs].reshape((ze - zs) * ow, f * k),
+                    operand.reshape((ze - zs) * ow, f * k),
                     w_ref[...],
                     preferred_element_type=jnp.float32,
                 ).reshape(ze - zs, ow, f * n)
@@ -352,11 +381,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # (all slicing of act refs is static, so packed `dtype` storage is
         # legal; the last layer's f32 input keeps VPU accumulation exact)
         # the packed-dx producer widens its lane dim to P·n — VMEM-free,
-        # the ref's lane pad to 128 was already paid
-        lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
-        scratch_shapes.append(
-            pltpu.VMEM((hs[li + 1], ws[li + 1], lanes), act_dts[li])
-        )
+        # the ref's lane pad to 128 was already paid; a pre-packed
+        # producer stores the consumer's patches outright: f·n lanes at
+        # the consumer's output width
+        if li + 1 in prepack:
+            shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
+        else:
+            lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
+            shape = (hs[li + 1], ws[li + 1], lanes)
+        scratch_shapes.append(pltpu.VMEM(shape, act_dts[li]))
     # rolling-chunk Z / patch scratch, f>1 layers only: (ch+f−1) resp. ch
     # rows regardless of tile height (see the kernel's chunk schedule)
     for li in pz_idx:  # f32 all-phase matmul outputs (Z)
@@ -366,7 +399,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 jnp.float32,
             )
         )
-    for li in pz_idx:  # patch chunk buffers
+    for li in pp_idx:  # patch chunk buffers (non-pre-packed consumers)
         scratch_shapes.append(
             pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
         )
