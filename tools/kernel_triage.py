@@ -64,7 +64,10 @@ def main(argv=None) -> int:
     modes = [
         ("full", frozenset()),
         ("-l1 (folded conv1 matmul)", frozenset({"l1"})),
-        ("-patch (conv2 patch build)", frozenset({"patch"})),
+        # "patch" is a no-op on shallow (pre-packed) stacks like this
+        # 9-5-5 model — the patch stores live in the producer's stage;
+        # kept to confirm ~0 and for deep-stack triage sessions
+        ("-patch (rolling patch build)", frozenset({"patch"})),
         ("-mid (conv2 entirely)", frozenset({"mid"})),
         ("-last (conv3 VPU)", frozenset({"last"})),
         ("-all compute", frozenset({"l1", "mid", "last"})),
