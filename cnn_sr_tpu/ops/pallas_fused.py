@@ -316,17 +316,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     operand.reshape((ze - zs) * ow, f * k),
                     w_ref[...],
                     preferred_element_type=jnp.float32,
-                ).reshape(ze - zs, ow, f * n)
+                ).reshape(ze - zs, ow, f * n).astype(z_ref.dtype)
                 # out rows whose full f-row Z window is now resident
                 o0 = max(0, zs - (f - 1))
                 o1 = ze - (f - 1)
                 lo = o0 - zs + f - 1  # z_ref row of Z row o0
-                val = z_ref[lo : lo + o1 - o0, :, 0:n]
+                # Z is stored in the stream dtype (one rounding per phase
+                # partial; halves the layer's dominant VMEM traffic) and
+                # the f-phase combine accumulates in f32
+                val = z_ref[lo : lo + o1 - o0, :, 0:n].astype(jnp.float32)
                 for dy in range(1, f):
                     val = val + z_ref[
                         lo + dy : lo + dy + o1 - o0, :,
                         dy * n : (dy + 1) * n,
-                    ]
+                    ].astype(jnp.float32)
                 store_act(li, o0, o1, jnp.maximum(
                     val + b_ref[...], 0.0).astype(act_dt))
 
@@ -392,11 +395,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         scratch_shapes.append(pltpu.VMEM(shape, act_dts[li]))
     # rolling-chunk Z / patch scratch, f>1 layers only: (ch+f−1) resp. ch
     # rows regardless of tile height (see the kernel's chunk schedule)
-    for li in pz_idx:  # f32 all-phase matmul outputs (Z)
+    for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
         scratch_shapes.append(
             pltpu.VMEM(
                 (chunk_rows + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
-                jnp.float32,
+                dtype,
             )
         )
     for li in pp_idx:  # patch chunk buffers (non-pre-packed consumers)

@@ -195,6 +195,34 @@ def main():
     _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
           "fused Pallas path (XLA path: ~20.5 MPix/s)")
 
+    # --- 6 (extra, serving-shaped): batch of 8 540p frames per dispatch,
+    # the same-shape batching queue geometry tools/serve.py uses ---
+    from cnn_sr_tpu.api import _upscale_luma_batch_jit
+
+    cfg = classic_cfg(64, 32, 9, 5, 5)
+    params = jparams(cfg)
+    batch = jnp.asarray(rng.integers(0, 256, (8, 540, 960, 4), dtype=np.uint8))
+
+    def batch_pipe(b):
+        return _upscale_luma_batch_jit(params, b, use_pallas=True)
+
+    @jax.jit
+    def chained_b(b):
+        def body(c, _):
+            y = batch_pipe(c)
+            return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
+        c, _ = jax.lax.scan(body, b, None, length=8)
+        return c
+
+    r = chained_b(batch)
+    _ = np.asarray(r[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    r = chained_b(batch)
+    _ = np.asarray(r[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / 8
+    _emit("6_serving_batch8_540p", 8 * 540 * 960 / dt / 1e6, "MPix/s",
+          "8-image fused dispatch (tools/serve.py queue geometry)")
+
     if cli.json:
         for row in _ROWS:
             # vs_baseline: 50 MPix/s/chip target for inference rows,

@@ -66,20 +66,28 @@ if which in ("all", "flagship"):
         } for i in (1, 2, 3)},
     })
     params = jparams(cfg)
-    ftiles = [(64, 256)]
+    ftiles = [(64, 256, 0)]
     if len(sys.argv) > 2:
-        ftiles = [tuple(int(x) for x in t.split("x")) for t in sys.argv[2:]]
-    for th, tw in ftiles:
-        def pipe(im, th=th, tw=tw):
+        ftiles = []
+        for t in sys.argv[2:]:  # THxTW or THxTWxCHUNK
+            parts = [int(x) for x in t.split("x")]
+            ftiles.append(tuple(parts) if len(parts) == 3 else (*parts, 0))
+    for th, tw, cr in ftiles:
+        def pipe(im, th=th, tw=tw, cr=cr):
             luma = extract_luma(im, normalize=True)
             luma0, _ = subtract_mean(luma)
             y = fused_forward(params, luma0[None, ..., None],
-                              tile_h=th, tile_w=tw)[0, ..., 0]
+                              tile_h=th, tile_w=tw, chunk_rows=cr)[0, ..., 0]
             return swap_luma(im, y)
-        dt = chained(pipe, img)
-        print(json.dumps({"cfg": "9-5-5", "tile": [th, tw],
-                          "ms": round(dt * 1e3, 2),
-                          "mpix_s": round(1080 * 1920 / dt / 1e6, 1)}))
+        try:
+            dt = chained(pipe, img)
+            print(json.dumps({"cfg": "9-5-5", "tile": [th, tw], "chunk": cr,
+                              "ms": round(dt * 1e3, 2),
+                              "mpix_s": round(1080 * 1920 / dt / 1e6, 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — probe keeps going
+            print(json.dumps({"cfg": "9-5-5", "tile": [th, tw], "chunk": cr,
+                              "error": repr(e)[:200]}), flush=True)
 
 if which in ("all", "rgb"):
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
