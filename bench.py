@@ -56,7 +56,9 @@ def main():
         if use_pallas:
             from cnn_sr_tpu.ops.pallas_fused import fused_forward
 
-            y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+            int8 = os.environ.get("BENCH_INT8", "1") == "1"
+            y = fused_forward(params, luma0[None, ..., None],
+                              input_int8=int8)[0, ..., 0]
         else:
             from cnn_sr_tpu.models import forward
 

@@ -31,14 +31,18 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
     (config ``zero_mean_target``) — add the input mean back.
     ``pallas_f32``: run the fused kernel in exact f32 instead of the
     bf16 stream (~2-3x slower; negligible for shallow models, but deep
-    stacks compound bf16 rounding — see docs/BENCHMARKS.md)."""
+    stacks compound bf16 rounding — see docs/BENCHMARKS.md). The bf16
+    fast path also stores the first layer's patch array as int8
+    (mean-subtracted luma is in [−1,1]; quantization step 1/254 sits
+    under the bf16 rounding envelope — docs/BENCHMARKS.md)."""
     luma = extract_luma(rgba, normalize=True)
     luma0, mean = subtract_mean(luma)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
         dt = jnp.float32 if pallas_f32 else jnp.bfloat16
-        y = fused_forward(params, luma0[None, ..., None], dtype=dt)[0, ..., 0]
+        y = fused_forward(params, luma0[None, ..., None], dtype=dt,
+                          input_int8=not pallas_f32)[0, ..., 0]
     else:
         y = forward(params, luma0[None, ..., None])[0, ..., 0]
     if add_mean:
@@ -61,7 +65,8 @@ def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
         from .ops.pallas_fused import fused_forward
 
         dt = jnp.float32 if pallas_f32 else jnp.bfloat16
-        y = fused_forward(params, (rgb - mean)[None], dtype=dt)[0]
+        y = fused_forward(params, (rgb - mean)[None], dtype=dt,
+                          input_int8=not pallas_f32)[0]
     else:
         y = forward(params, (rgb - mean)[None])[0]
     if add_mean:
@@ -94,7 +99,8 @@ def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
         from .ops.pallas_fused import fused_forward
 
         dt = jnp.float32 if pallas_f32 else jnp.bfloat16
-        y = fused_forward(params, luma0[None, ..., None], dtype=dt)[0, ..., 0]
+        y = fused_forward(params, luma0[None, ..., None], dtype=dt,
+                          input_int8=not pallas_f32)[0, ..., 0]
     else:
         y = forward(params, luma0[None, ..., None])[0, ..., 0]
     return y + mean if add_mean else y
@@ -215,7 +221,8 @@ def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
         from .ops.pallas_fused import fused_forward
 
         dt = jnp.float32 if pallas_f32 else jnp.bfloat16
-        ys = fused_forward(params, lumas0[..., None], dtype=dt)[..., 0]
+        ys = fused_forward(params, lumas0[..., None], dtype=dt,
+                           input_int8=not pallas_f32)[..., 0]
     else:
         ys = forward(params, lumas0[..., None])[..., 0]
     if add_mean:

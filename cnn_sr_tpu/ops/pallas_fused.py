@@ -116,10 +116,16 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     h, w_dim, c_in = a.shape
     out_h, out_w = h - shrink, w_dim - shrink
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
+    # the input window streams in the array's own dtype: int8 patch
+    # arrays (quantized folded-conv1 inputs) ride half the DMA bytes and
+    # cast to `dtype` at the matmul operand
+    win_dt = a.dtype if a.dtype == jnp.int8 else dtype
     # 3D (H, W, C) arrays tile the last two dims → the DMA window needs
     # W-dim (sublane) 8-alignment and a 128-multiple lane (channel) size;
     # H is untiled (any offset). Channel padding is physically free.
-    sub_align = 16 if dtype == jnp.bfloat16 else 8  # packed-dtype W tiling
+    # packed-dtype W tiling: (8, 128)·(32/bits) sublanes per tile
+    sub_align = {jnp.dtype(jnp.int8): 32,
+                 jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
     win_h = tile_h + shrink
     # Per-layer buffer widths, computed back-to-front and padded to
     # sublane (8) multiples: an 8-aligned width makes the im2col collapse
@@ -142,11 +148,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     c_pad = -(-c_in // 128) * 128
     pad_h = (grid[0] - 1) * tile_h + win_h - h
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
-    # the window streams in `dtype` (3D refs allow dynamic indexing on the
-    # untiled H dim even when packed; only 2D sublane indexing is barred)
+    # the window streams in `win_dt` (3D refs allow dynamic indexing on
+    # the untiled H dim even when packed; only 2D sublane indexing is
+    # barred)
     ap = jnp.pad(
         a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
-    ).astype(dtype)
+    ).astype(win_dt)
 
     hs = [win_h]
     for s in shrinks:
@@ -271,8 +278,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 kk = c_pad if li == 0 else ks[li]
                 for c0 in range(0, oh, ch):
                     ce = min(c0 + ch, oh)
+                    opnd = src[c0:ce, 0:ow, 0:kk]
+                    if opnd.dtype != dtype:  # int8 window → dtype operand
+                        opnd = opnd.astype(dtype)
                     y = jnp.dot(
-                        src[c0:ce, 0:ow, 0:kk].reshape((ce - c0) * ow, kk),
+                        opnd.reshape((ce - c0) * ow, kk),
                         w_ref[...],
                         preferred_element_type=jnp.float32,
                     )
@@ -377,7 +387,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
 
     scratch_shapes = [
-        pltpu.VMEM((2, win_h, win_w, c_pad), dtype),  # double-buffered windows
+        pltpu.VMEM((2, win_h, win_w, c_pad), win_dt),  # double-buffered windows
         pltpu.SemaphoreType.DMA((2,)),
     ]
     for li in range(n_layers - 1):  # middle-layer activations
@@ -434,7 +444,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
 
 
-def _im2col_patches(x, f: int, dtype):
+def _im2col_patches(x, f: int, dtype, int8: bool = False):
     """(N, H, W, k) → (N, H−f+1, W−f+1, f²·k) patches, channel index
     (dy·f + dx)·k + c — the same flattening as HWIO weights reshaped to
     (f²·k, n). Feeds the kernel's folded first layer (a 1x1 matmul).
@@ -443,10 +453,21 @@ def _im2col_patches(x, f: int, dtype):
     views directly would materialize f²·k single-channel temps that TPU
     lane-pads 128× (observed 500 MB each → HBM OOM under lax.scan);
     2D (H, W) slices tile cleanly and only the final array pays the
-    one expected lane pad."""
+    one expected lane pad.
+
+    ``int8=True`` stores the patches as int8 (input × 127, clipped to
+    ±1, round-to-nearest): callers whose input is mean-subtracted
+    normalized luma/RGB — strictly inside (−1, 1) — halve the patch
+    array's HBM bytes, the transpose work, and the kernel's window DMA;
+    the 1/127 scale folds into the folded first layer's weights. The
+    quantization step (1/254 on unit scale) sits below the bf16 stream
+    path's own rounding envelope."""
     oh = x.shape[1] - f + 1
     ow = x.shape[2] - f + 1
-    xb = x.astype(dtype)
+    if int8:
+        xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
+    else:
+        xb = x.astype(dtype)
     k = x.shape[3]
     planes = jnp.stack(
         [
@@ -495,7 +516,8 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1) -> List[jnp.ndarray
 
 
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
-                  dtype=jnp.bfloat16, chunk_rows: int = 0):
+                  dtype=jnp.bfloat16, chunk_rows: int = 0,
+                  input_int8: bool = False):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     XLA builds the first layer's im2col patch array; ALL conv layers run
@@ -506,6 +528,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     XLA conv path for models outside the kernel's envelope (≤4 output
     channels, ≥3 layers, few-channel first layer, 8-multiple middle
     channels).
+
+    ``input_int8=True`` (bf16 stream path, folded first layer only)
+    stores the patch array as int8 — see ``_im2col_patches``. Callers
+    must guarantee inputs in [−1, 1] (mean-subtracted normalized
+    luma/RGB always are); values outside clip.
     """
     from ..models import forward as _xla_forward
 
@@ -554,10 +581,12 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     )
     if kpack <= 256:
         # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
+        use_int8 = input_int8 and dtype != jnp.float32
         dims = ((1, kpack, n1),) + tail_dims
-        wbs = [w1.reshape(kpack, n1).astype(dtype), b1]
+        w1m = w1 / 127.0 if use_int8 else w1  # fold the int8 scale
+        wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
         wbs += _prepare_tail_weights(params[1:], dtype, pack_last)
-        a1 = _im2col_patches(x, f1, dtype)
+        a1 = _im2col_patches(x, f1, dtype, int8=use_int8)
     else:
         dims = tail_dims
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last)

@@ -132,6 +132,31 @@ def test_fused_packed_dx_last_layer_groups():
     )
 
 
+def test_fused_int8_input():
+    """input_int8: the patch array stores quantized int8 (x·127) with
+    the 1/127 scale folded into the folded first layer's weights. On
+    unit-scale inputs the quantization sits under the bf16 envelope;
+    f32 mode must ignore the flag entirely."""
+    rng = np.random.default_rng(8)
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
+    x = jnp.asarray((rng.random((1, 70, 150, 1)) - 0.45).astype(np.float32))
+    y_ref = forward(params, x)
+    yi = fused_forward(params, x, tile_h=16, tile_w=128, input_int8=True)
+    assert float(jnp.abs(yi - y_ref).max()) < 0.02
+    # f32 ignores the knob: exact parity
+    yf = fused_forward(params, x, tile_h=16, tile_w=128,
+                       dtype=jnp.float32, input_int8=True)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    # out-of-range inputs clip — callers must pre-normalize; the bf16
+    # path without the knob stays unclipped
+    xb = x * 3.0
+    yi2 = fused_forward(params, xb, tile_h=16, tile_w=128, input_int8=True)
+    assert float(jnp.abs(yi2 - forward(params, xb)).max()) > 0.02  # clipped
+    yb2 = fused_forward(params, xb, tile_h=16, tile_w=128)
+    assert float(jnp.abs(yb2 - forward(params, xb)).max()) < 0.15
+
+
 def test_fused_rgb_output():
     """n_out=3 (RGB model family) through the fused kernel."""
     rng = np.random.default_rng(4)

@@ -99,7 +99,8 @@ def main():
             luma = extract_luma(img, normalize=True)
             luma0, _ = subtract_mean(luma)
             if use_pallas:
-                y = fused_forward(params, luma0[None, ..., None])[0, ..., 0]
+                y = fused_forward(params, luma0[None, ..., None],
+                                  input_int8=True)[0, ..., 0]
             else:
                 y = forward(params, luma0[None, ..., None])[0, ..., 0]
             return swap_luma(img, y)

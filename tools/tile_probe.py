@@ -76,8 +76,9 @@ if which in ("all", "flagship"):
         def pipe(im, th=th, tw=tw, cr=cr):
             luma = extract_luma(im, normalize=True)
             luma0, _ = subtract_mean(luma)
-            y = fused_forward(params, luma0[None, ..., None],
-                              tile_h=th, tile_w=tw, chunk_rows=cr)[0, ..., 0]
+            y = fused_forward(params, luma0[None, ..., None], tile_h=th,
+                              tile_w=tw, chunk_rows=cr,
+                              input_int8=True)[0, ..., 0]
             return swap_luma(im, y)
         try:
             dt = chained(pipe, img)
