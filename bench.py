@@ -16,7 +16,9 @@ Prints ONE JSON line:
 vs_baseline is against the 50 MPix/s/chip target (BASELINE.md).
 
 Env knobs: BENCH_PALLAS=0 forces the plain XLA conv path (default 1 =
-the fused hybrid XLA-im2col + Pallas path); BENCH_ITERS (default 10).
+the fused hybrid XLA-im2col + Pallas path); BENCH_INT8=0 disables the
+int8 patch array (reproduces the pre-int8 history rows in
+docs/BENCHMARKS.md); BENCH_ITERS (default 10).
 """
 
 import json

@@ -51,6 +51,26 @@ def test_upscale_pallas_f32_matches_xla():
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
+def test_upscale_pallas_default_bf16_int8_close():
+    """The DEFAULT serving numeric path (bf16 stream + int8 patch array)
+    through the public API: gates the whole wiring — mean-subtracted
+    input range, the 1/127 weight fold, quantization noise — against
+    the XLA f32 path on a real uint8 image. Drift beyond a few uint8
+    steps on any pixel means a fast-path regression."""
+    cfg = parse_config({**CFG, "n1": 8, "n2": 8, "f1": 9, "f2": 5, "f3": 5})
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=2)
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (40, 140, 4), dtype=np.uint8)
+    ref = upscale_image(cfg, params, rgba).astype(int)
+    out = upscale_image(cfg, params, rgba, use_pallas=True).astype(int)
+    diff = np.abs(out - ref)
+    assert diff.max() <= 4, diff.max()
+    assert diff.mean() < 0.5, diff.mean()
+    # batched entry shares the path
+    outb = upscale_batch(cfg, params, rgba[None], use_pallas=True)[0].astype(int)
+    assert np.abs(outb - ref).max() <= 4
+
+
 @pytest.mark.parametrize("k_in", [1, 3])
 def test_fast_forward_f32_matches_conv(k_in):
     rng = np.random.default_rng(2)

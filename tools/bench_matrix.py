@@ -189,7 +189,7 @@ def main():
     def rgb_pipe(img):
         rgb = img[..., :3].astype(jnp.float32) / 255.0
         mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
-        y = fused_forward(params7, (rgb - mean)[None])[0]
+        y = fused_forward(params7, (rgb - mean)[None], input_int8=True)[0]
         return swap_rgb(img, y)
 
     dt = _chained_image_bench(rgb_pipe, img, iters=4)

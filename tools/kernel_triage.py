@@ -30,6 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Fused-kernel stage triage.")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--no-int8", action="store_true",
+                   help="triage the bf16 patch array instead of the "
+                        "production int8 default")
     args = p.parse_args(argv)
 
     import jax
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
         @jax.jit
         def chained(a):
             def body(c, _):
-                y = pallas_fused.fused_forward(params, c)
+                y = pallas_fused.fused_forward(
+                    params, c, input_int8=not args.no_int8)
                 return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
             return lax.scan(body, a, None, length=args.iters)[0]
 

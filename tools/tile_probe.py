@@ -105,8 +105,8 @@ if which in ("all", "rgb"):
         def rgb_pipe(im, th=th, tw=tw, cr=cr):
             rgb = im[..., :3].astype(jnp.float32) / 255.0
             mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
-            y = fused_forward(params7, (rgb - mean)[None],
-                              tile_h=th, tile_w=tw, chunk_rows=cr)[0]
+            y = fused_forward(params7, (rgb - mean)[None], tile_h=th,
+                              tile_w=tw, chunk_rows=cr, input_int8=True)[0]
             return swap_rgb(im, y)
         try:
             dt = chained(rgb_pipe, img, iters=4)
