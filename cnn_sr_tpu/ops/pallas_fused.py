@@ -172,11 +172,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # the packed-dx last layer) and the consumer's matmul operand is a
     # free collapse of the pre-packed ref itself — no per-chunk patch
     # build, no re-read of the activation. Costs (f−1)·k extra act
-    # lanes per consumer; gated to shallow stacks (deep stacks are
-    # scoped-VMEM-bound and keep the rolling patch scratch).
+    # lanes per consumer — every consumer on shallow stacks; on deep
+    # (scoped-VMEM-bound) stacks only where f·k ≤ 128, where the lane
+    # pad already covers the copies and dropping the patch scratch is a
+    # net VMEM SAVE.
     prepack = frozenset(
-        li for li in range(1, n_layers - 1) if fs[li] > 1
-    ) if n_layers <= 4 else frozenset()
+        li for li in range(1, n_layers - 1)
+        if fs[li] > 1 and (n_layers <= 4 or fs[li] * ks[li] <= 128)
+    )
     # a first f=1 layer reads the whole lane-padded window: widen its
     # weight rows with zeros to match (pad lanes are zeros from `ap`)
     if fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
@@ -360,6 +363,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         QL = -(-fL // pack_last)
 
         def last_rowblock(rb, _):
+            # the band stays f32: a bf16 band compiles (dynamic row
+            # indexing on a packed 3D ref's untiled leading dim is legal,
+            # unlike the historical 2D lesson) but measured ~2% slower —
+            # the whole-band f32 convert's register pressure outweighs
+            # the halved loads (175.0 vs 178.4 MPix/s, 2026-08-17)
             band = src[pl.ds(rb * RB, RB + fL - 1), 0 : owL + fL - 1,
                        0 : pack_last * kL]
             # one 2D output ref per channel (a lane-index store into one
