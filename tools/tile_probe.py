@@ -45,6 +45,16 @@ def chained(pipeline, img, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def _parse_tile(spec):
+    """THxTW or THxTWxCHUNK -> (th, tw, chunk); exits with a usage
+    message on malformed specs instead of crashing the sweep."""
+    parts = spec.split("x")
+    if len(parts) not in (2, 3) or not all(p.isdigit() for p in parts):
+        sys.exit(f"bad tile spec {spec!r}: expected THxTW or THxTWxCHUNK")
+    th, tw = int(parts[0]), int(parts[1])
+    return (th, tw, int(parts[2]) if len(parts) == 3 else 0)
+
+
 def jparams(cfg, seed=0):
     p = random_parameters(cfg.layer_specs(), cfg.distributions, seed=seed)
     return [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in p]
@@ -68,10 +78,7 @@ if which in ("all", "flagship"):
     params = jparams(cfg)
     ftiles = [(64, 256, 0)]
     if len(sys.argv) > 2:
-        ftiles = []
-        for t in sys.argv[2:]:  # THxTW or THxTWxCHUNK
-            parts = [int(x) for x in t.split("x")]
-            ftiles.append(tuple(parts) if len(parts) == 3 else (*parts, 0))
+        ftiles = [_parse_tile(t) for t in sys.argv[2:]]
     for th, tw, cr in ftiles:
         def pipe(im, th=th, tw=tw, cr=cr):
             luma = extract_luma(im, normalize=True)
@@ -97,10 +104,7 @@ if which in ("all", "rgb"):
     params7 = jparams(cfg7)
     tiles = [(64, 128, 0), (64, 256, 0)]
     if len(sys.argv) > 2:
-        tiles = []
-        for t in sys.argv[2:]:  # THxTW or THxTWxCHUNK
-            parts = [int(x) for x in t.split("x")]
-            tiles.append(tuple(parts) if len(parts) == 3 else (*parts, 0))
+        tiles = [_parse_tile(t) for t in sys.argv[2:]]
     for th, tw, cr in tiles:
         def rgb_pipe(im, th=th, tw=tw, cr=cr):
             rgb = im[..., :3].astype(jnp.float32) / 255.0
