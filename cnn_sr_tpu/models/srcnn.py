@@ -166,6 +166,12 @@ def loss_sum(params: Params, x: jnp.ndarray, gt: jnp.ndarray,
     if compute_dtype is not None:
         params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
         x = x.astype(compute_dtype)
+        # plain XLA convs, deliberately: the im2col matmul formulation
+        # that wins inference (fast_forward) was measured SLOWER here in
+        # both precisions — 21.2 vs 18.9 ms/grad-step at f32 HIGHEST and
+        # 11.7 vs ~10 ms/epoch at bf16 (36×128² workload, 2026-08-17);
+        # at training's small spatial extents the conv shapes are less
+        # hostile and the im2col VJP's slice-scatter adds dominate
         y = forward(params, x, precision=lax.Precision.DEFAULT)
         y = y.astype(jnp.float32)
     else:
