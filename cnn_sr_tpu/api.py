@@ -253,3 +253,90 @@ def upscale_batch(
             for img in imgs
         ])
     return np.asarray(out)
+
+
+_SPATIAL_STEPS: dict = {}
+
+
+def upscale_image_spatial(
+    cfg: Config,
+    params,
+    rgba: np.ndarray,
+    n_shards: int,
+    use_pallas: bool = False,
+    pallas_precision: str = "bf16",
+) -> np.ndarray:
+    """Single-image upscaling with the image's rows sharded over
+    ``n_shards`` devices — halo-exchange spatial parallelism
+    (``parallel.spatial.sharded_forward``): each device computes its row
+    band after ONE neighbor ``ppermute`` of the stack's receptive-field
+    halo over ICI. Results are identical to the single-device path (the
+    image is bottom-padded to a multiple of ``n_shards`` and the padded
+    rows' outputs are cropped before the luma/RGB swap).
+
+    This is the image-domain analog of sequence/context parallelism: it
+    lets one image larger than a single chip's comfortable working set
+    (or a latency-critical frame) span the mesh. ``n_shards`` must not
+    exceed ``len(jax.devices())``.
+    """
+    from .parallel.mesh import make_mesh
+    from .parallel.spatial import sharded_forward
+
+    if n_shards > len(jax.devices()):
+        raise ValueError(
+            f"--spatial-shard {n_shards} > {len(jax.devices())} devices")
+    pallas_f32 = pallas_precision == "f32"
+    params_j = jax.tree.map(jnp.asarray, params)
+    shrink = cfg.total_padding()
+    mesh = make_mesh(n_data=1, n_spatial=n_shards,
+                     devices=jax.devices()[:n_shards])
+
+    key = (n_shards, use_pallas, pallas_f32, cfg.channels,
+           cfg.zero_mean_target)
+    step = _SPATIAL_STEPS.get(key)
+    if step is None:
+        if use_pallas:
+            from .ops.pallas_fused import fused_forward
+
+            dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+            fwd = lambda p, a: fused_forward(  # noqa: E731
+                p, a, dtype=dt, input_int8=not pallas_f32)
+        else:
+            fwd = forward
+
+        @partial(jax.jit, static_argnames=("pad_rows",))
+        def step(params, rgba, pad_rows, _mesh=mesh, _fwd=fwd):
+            if cfg.channels == 1:
+                luma = extract_luma(rgba, normalize=True)
+                plane0, mean = subtract_mean(luma)
+                x = plane0[None, ..., None]
+            else:
+                rgb = rgba[..., :3].astype(jnp.float32) / 255.0
+                mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
+                x = (rgb - mean)[None]
+            # bottom-pad rows to a multiple of the spatial axis; padded
+            # rows only feed outputs past the valid region (cropped)
+            x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+            y = sharded_forward(_mesh, params, x, forward_fn=_fwd)
+            return y, mean
+
+        _SPATIAL_STEPS[key] = step
+
+    h, w = rgba.shape[0], rgba.shape[1]
+    if (h - shrink) <= 0 or (w - shrink) <= 0:
+        raise ValueError(f"image {w}x{h} smaller than the receptive field")
+    pad_rows = (-h) % n_shards
+    shard_rows = (h + pad_rows) // n_shards
+    if shard_rows < shrink:
+        raise ValueError(
+            f"shard height {shard_rows} < receptive-field shrink {shrink}; "
+            f"use fewer shards for this image")
+    y, mean = step(params_j, jnp.asarray(rgba), pad_rows)
+    y = y[:, : h - shrink, : w - shrink]
+    if cfg.zero_mean_target:
+        y = y + mean
+    if cfg.channels == 1:
+        out = _swap_luma_jit(jnp.asarray(rgba), y[0, ..., 0])
+    else:
+        out = _swap_rgb_jit(jnp.asarray(rgba), y[0])
+    return np.asarray(out)

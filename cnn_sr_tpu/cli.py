@@ -20,8 +20,10 @@ reference's values as defaults: ``--validation-percent`` (20),
 extensions: ``--pallas`` (fused inference kernel), ``--scale`` (fused
 on-device pre-upscale), ``--bucket`` (shape bucketing for the compile
 cache), ``--epochs-per-dispatch`` (scanned multi-epoch dispatch),
-``--trace-dir`` (op-level profiler traces), ``--seed``, and forward mode
-over a whole directory of images.
+``--trace-dir`` (op-level profiler traces), ``--seed``, forward mode
+over a whole directory of images, and multi-chip SPMD:
+``--spatial-shard N`` (halo-exchange row sharding of one image) and
+``--data-parallel N`` (batch sharding with XLA gradient all-reduce).
 """
 
 from __future__ import annotations
@@ -102,13 +104,50 @@ def build_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace into this directory "
         "(op-level timeline for TensorBoard/Perfetto)",
     )
+    p.add_argument(
+        "--spatial-shard", type=int, default=0, metavar="N",
+        help="forward: split the image's rows over N devices (-1 = all) "
+        "with one halo exchange per image (ppermute over ICI); results "
+        "are identical to single-device",
+    )
+    p.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="training: shard the sample batch over N devices (-1 = all) "
+        "on a 'data' mesh axis; XLA inserts the gradient all-reduce. "
+        "The train and validation split sizes must divide by N",
+    )
     return p
+
+
+def _resolve_devices(n: int) -> int:
+    """-1 → all available devices; validates n ≥ 1 otherwise."""
+    import jax
+
+    avail = len(jax.devices())
+    if n == -1:
+        return avail
+    if n < 1 or n > avail:
+        raise SystemExit(f"need 1..{avail} devices, got {n}")
+    return n
+
+
+def _forward_one(args, cfg, params, rgba):
+    """Dispatch one image through the selected forward path."""
+    if args.spatial_shard:
+        from .api import upscale_image_spatial
+
+        return upscale_image_spatial(
+            cfg, params, rgba, _resolve_devices(args.spatial_shard),
+            use_pallas=args.pallas, pallas_precision=args.pallas_precision)
+    from .api import upscale_image
+
+    return upscale_image(cfg, params, rgba, args.pallas, args.bucket,
+                         args.pallas_precision)
 
 
 def run_forward(args, cfg, profiler) -> int:
     import os
 
-    from .api import upscale_image
     from .ops.image import load_image, write_image
     from .training.trainer import init_train_state
 
@@ -134,8 +173,7 @@ def run_forward(args, cfg, profiler) -> int:
 
     out = profiler.timed(
         "upscale (jit: luma+forward+swap)",
-        upscale_image, cfg, state.params, rgba, args.pallas, args.bucket,
-        args.pallas_precision,
+        _forward_one, args, cfg, state.params, rgba,
     )
 
     if args.out_path:
@@ -153,7 +191,6 @@ def _run_forward_dir(args, cfg, state, profiler) -> int:
 
     import numpy as np
 
-    from .api import upscale_image
     from .ops.image import load_image, write_image
 
     files = sorted(
@@ -173,9 +210,8 @@ def _run_forward_dir(args, cfg, state, profiler) -> int:
             from .ops.resize import upscale_rgba
 
             rgba = np.asarray(upscale_rgba(rgba, args.scale))
-        out = profiler.timed("upscale", upscale_image, cfg, state.params,
-                             rgba, args.pallas, args.bucket,
-                             args.pallas_precision)
+        out = profiler.timed("upscale", _forward_one, args, cfg,
+                             state.params, rgba)
         if args.out_path:
             stem = os.path.splitext(name)[0]
             dst = os.path.join(args.out_path, f"{stem}_sr.png")
@@ -224,6 +260,21 @@ def run_training(args, cfg, profiler) -> int:
         if rng is None:
             rng = np.random.default_rng(args.seed)
 
+    mesh = None
+    if args.data_parallel:
+        from .parallel.mesh import make_mesh
+
+        n = _resolve_devices(args.data_parallel)
+        v = int(samples.count * args.validation_percent / 100.0)
+        t = samples.count - v
+        if t % n or (v and v % n):
+            raise SystemExit(
+                f"--data-parallel {n}: train split {t} and validation "
+                f"split {v} must both divide by the device count")
+        mesh = make_mesh(n_data=n)
+        print(f"Data-parallel training over {n} devices "
+              f"(batch axis sharded; gradient psum over ICI)")
+
     t0 = time.perf_counter()
     with profiler.stage("train_loop"):
         error = train_loop(
@@ -235,6 +286,7 @@ def run_training(args, cfg, profiler) -> int:
             mini_batch_count=args.mini_batch_count,
             validation_cadence=args.validation_cadence,
             epochs_per_dispatch=args.epochs_per_dispatch,
+            mesh=mesh,
             precision=(None if args.train_precision == "highest"
                        else _LAX_PRECISION[args.train_precision]),
             seed=args.seed,

@@ -118,3 +118,45 @@ def test_forward_then_reload_params_roundtrip(cfg_path, tmp_path, image_path):
     out_img = str(tmp_path / "up.png")
     assert main(["-c", cfg2_path, "-i", image_path, "-o", out_img]) == 0
     assert os.path.exists(out_img)
+
+
+def test_forward_spatial_shard_matches_single(cfg_path, image_path, tmp_path):
+    """--spatial-shard N: rows split over the virtual mesh with one halo
+    exchange; output must be pixel-identical to the single-device run
+    (24 rows over 4 devices; also exercises the bottom-pad path via 3
+    shards, 24 % 3 == 0 -> and 5 shards with padding)."""
+    ref = str(tmp_path / "ref.png")
+    assert main(["-c", cfg_path, "-i", image_path, "-o", ref,
+                 "--seed", "0"]) == 0
+    for n in ("4", "5"):  # 24 % 5 != 0 -> bottom-pad path
+        out = str(tmp_path / f"out_s{n}.png")
+        assert main(["-c", cfg_path, "-i", image_path, "-o", out,
+                     "--seed", "0", "--spatial-shard", n]) == 0
+        a = np.asarray(Image.open(out)).astype(int)
+        b = np.asarray(Image.open(ref)).astype(int)
+        assert np.abs(a - b).max() <= 1, f"spatial-shard {n} diverged"
+
+
+def test_train_data_parallel_matches_single(cfg_path, tmp_path, capsys):
+    """--data-parallel N: the sharded epoch must produce the same
+    parameters as the single-device run (10 samples -> train 8 / val 2,
+    both divisible by 2)."""
+    samples = _make_samples(tmp_path, n=10)
+    p1 = str(tmp_path / "p1.json")
+    p2 = str(tmp_path / "p2.json")
+    assert main(["train", "-c", cfg_path, "-i", samples, "-o", p1,
+                 "-e", "3", "--seed", "7"]) == 0
+    assert main(["train", "-c", cfg_path, "-i", samples, "-o", p2,
+                 "-e", "3", "--seed", "7", "--data-parallel", "2"]) == 0
+    w1 = json.load(open(p1))
+    w2 = json.load(open(p2))
+    for layer in ("layer1", "layer2", "layer3"):
+        np.testing.assert_allclose(w1[layer]["weights"],
+                                   w2[layer]["weights"], rtol=1e-5, atol=1e-7)
+
+
+def test_train_data_parallel_indivisible_split_errors(cfg_path, tmp_path):
+    samples = _make_samples(tmp_path, n=5)  # train 4 / val 1: 1 % 2 != 0
+    with pytest.raises(SystemExit):
+        main(["train", "-c", cfg_path, "-i", samples, "-o",
+              str(tmp_path / "p.json"), "-e", "1", "--data-parallel", "2"])
