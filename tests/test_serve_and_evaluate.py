@@ -172,3 +172,25 @@ def test_evaluate_tool(cfg_path, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "MEAN" in out and "bicubic" in out
+
+
+def test_serve_spatial_shard_mode(cfg_path):
+    """--spatial-shard latency mode: each request's rows span the
+    virtual mesh; the reply must match the single-device server's."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 28, 3), dtype=np.uint8)
+    body = _png_bytes(img)
+
+    server, worker, port = _start_server(cfg_path)
+    try:
+        ref = _post_upscale(port, body)
+    finally:
+        worker.stop(); server.shutdown()
+
+    server, worker, port = _start_server(cfg_path, spatial_shard=4)
+    try:
+        out = _post_upscale(port, body)
+    finally:
+        worker.stop(); server.shutdown()
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1

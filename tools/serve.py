@@ -79,11 +79,15 @@ class DeviceWorker(threading.Thread):
                  scale: float = 1.0, max_batch: int = 8,
                  batch_wait_ms: float = 3.0, bucket: int = 0,
                  job_timeout_s: float = 600.0,
-                 pallas_precision: str = "bf16"):
+                 pallas_precision: str = "bf16",
+                 spatial_shard: int = 0):
         super().__init__(daemon=True, name="device-worker")
         self.slots = slots
         self.use_pallas = use_pallas
         self.pallas_precision = pallas_precision
+        # >0: latency mode — every image's rows span this many devices
+        # (halo-exchange spatial sharding) instead of batching requests
+        self.spatial_shard = spatial_shard
         self.scale = scale
         self.max_batch = max(1, max_batch)
         self.batch_wait_s = max(0.0, batch_wait_ms) / 1e3
@@ -168,13 +172,22 @@ class DeviceWorker(threading.Thread):
         self._drain_queue()
 
     def _process_group(self, jobs) -> None:
-        from cnn_sr_tpu.api import upscale_batch, upscale_image
+        from cnn_sr_tpu.api import (upscale_batch, upscale_image,
+                                    upscale_image_spatial)
 
         try:
             slot = self.slots[jobs[0].model]
             cfg, params = slot["cfg"], slot["params"]
             rgbas = [self._pre_scale(j.rgba) for j in jobs]
-            if len(jobs) > 1 and cfg.channels == 1:
+            if self.spatial_shard:
+                # multi-chip latency mode: one image at a time, its rows
+                # sharded over the mesh (throughput mode = batching below)
+                for j, rgba in zip(jobs, rgbas):
+                    j.result = upscale_image_spatial(
+                        cfg, params, rgba, self.spatial_shard,
+                        use_pallas=self.use_pallas,
+                        pallas_precision=self.pallas_precision)
+            elif len(jobs) > 1 and cfg.channels == 1:
                 outs = upscale_batch(cfg, params, np.stack(rgbas),
                                      use_pallas=self.use_pallas,
                                      pallas_precision=self.pallas_precision)
@@ -307,12 +320,13 @@ def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
                 use_pallas: bool = False, scale: float = 1.0,
                 max_batch: int = 8, batch_wait_ms: float = 3.0,
                 bucket: int = 0, job_timeout_s: float = 600.0,
-                pallas_precision: str = "bf16"):
+                pallas_precision: str = "bf16", spatial_shard: int = 0):
     """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
     worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
                           bucket=bucket, job_timeout_s=job_timeout_s,
-                          pallas_precision=pallas_precision)
+                          pallas_precision=pallas_precision,
+                          spatial_shard=spatial_shard)
     server = ThreadingHTTPServer((host, port), build_handler(worker))
     return server, worker
 
@@ -341,6 +355,11 @@ def main(argv=None) -> int:
     p.add_argument("--bucket", type=int, default=64,
                    help="pad single-image shapes to multiples of this "
                         "for compile reuse (0 = exact shapes)")
+    p.add_argument("--spatial-shard", type=int, default=0, metavar="N",
+                   help="latency mode: shard every image's rows over N "
+                        "devices (halo-exchange) instead of batching "
+                        "requests — for multi-chip hosts serving large "
+                        "frames (0 = off)")
     p.add_argument("--job-timeout", type=float, default=600.0,
                    help="seconds a request waits for the device worker "
                         "(first-touch kernel compiles can take minutes)")
@@ -365,7 +384,8 @@ def main(argv=None) -> int:
         scale=args.scale, max_batch=args.max_batch,
         batch_wait_ms=args.batch_wait_ms, bucket=args.bucket,
         job_timeout_s=args.job_timeout,
-        pallas_precision=args.pallas_precision)
+        pallas_precision=args.pallas_precision,
+        spatial_shard=args.spatial_shard)
     worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")
