@@ -265,16 +265,78 @@ int cnnsr_encode_jpeg(const char* path, const uint8_t* rgb, int w, int h,
 
 // Rec.601 luma from RGBA8; optional /255 normalization (extract_luma.cl:17-21)
 // and optional per-image mean subtraction (DataPipeline.cpp:268-280).
-void cnnsr_extract_luma(const uint8_t* rgba, float* luma, int64_t npx,
-                        int normalize, int subtract_mean) {
-  const float inv255 = 1.0f / 255.0f;
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+
+// 8 RGBA pixels per iteration: byte-lane masks/shifts deinterleave the
+// channels, one FMA chain forms the Rec.601 dot product, and the running
+// sum accumulates per-vector into a double (the scalar loop's double
+// reduction is what stops the compiler auto-vectorizing it).
+__attribute__((target("avx2,fma")))
+static double extract_luma_avx2(const uint8_t* rgba, float* luma,
+                                int64_t npx, int normalize) {
+  const __m256 cr = _mm256_set1_ps(0.299f);
+  const __m256 cg = _mm256_set1_ps(0.587f);
+  const __m256 cb = _mm256_set1_ps(0.114f);
+  const __m256 inv = _mm256_set1_ps(1.0f / 255.0f);
+  const __m256i mask = _mm256_set1_epi32(0xFF);
   double sum = 0.0;
-  for (int64_t i = 0; i < npx; i++) {
+  int64_t i = 0;
+  // chunked vector accumulation: one horizontal reduce per 4096
+  // iterations (a per-iteration hadd chain measured scalar-speed);
+  // chunk partial sums stay well inside f32's exact-integer range
+  while (i + 8 <= npx) {
+    int64_t end = i + ((npx - i) / 8) * 8;
+    if (end - i > 8 * 4096) end = i + 8 * 4096;
+    __m256 vsum = _mm256_setzero_ps();
+    for (; i < end; i += 8) {
+      __m256i px = _mm256_loadu_si256((const __m256i*)(rgba + i * 4));
+      __m256 rf = _mm256_cvtepi32_ps(_mm256_and_si256(px, mask));
+      __m256 gf = _mm256_cvtepi32_ps(
+          _mm256_and_si256(_mm256_srli_epi32(px, 8), mask));
+      __m256 bf = _mm256_cvtepi32_ps(
+          _mm256_and_si256(_mm256_srli_epi32(px, 16), mask));
+      __m256 v = _mm256_fmadd_ps(
+          rf, cr, _mm256_fmadd_ps(gf, cg, _mm256_mul_ps(bf, cb)));
+      if (normalize) v = _mm256_mul_ps(v, inv);
+      _mm256_storeu_ps(luma + i, v);
+      vsum = _mm256_add_ps(vsum, v);
+    }
+    __m128 s = _mm_add_ps(_mm256_castps256_ps128(vsum),
+                          _mm256_extractf128_ps(vsum, 1));
+    s = _mm_hadd_ps(s, s);
+    s = _mm_hadd_ps(s, s);
+    sum += (double)_mm_cvtss_f32(s);
+  }
+  const float inv255 = 1.0f / 255.0f;
+  for (; i < npx; i++) {
     float v = 0.299f * rgba[i * 4 + 0] + 0.587f * rgba[i * 4 + 1] +
               0.114f * rgba[i * 4 + 2];
     if (normalize) v *= inv255;
     luma[i] = v;
     sum += v;
+  }
+  return sum;
+}
+#endif
+
+void cnnsr_extract_luma(const uint8_t* rgba, float* luma, int64_t npx,
+                        int normalize, int subtract_mean) {
+  const float inv255 = 1.0f / 255.0f;
+  double sum = 0.0;
+#if defined(__x86_64__) || defined(_M_X64)
+  if (__builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma")) {
+    sum = extract_luma_avx2(rgba, luma, npx, normalize);
+  } else
+#endif
+  {
+    for (int64_t i = 0; i < npx; i++) {
+      float v = 0.299f * rgba[i * 4 + 0] + 0.587f * rgba[i * 4 + 1] +
+                0.114f * rgba[i * 4 + 2];
+      if (normalize) v *= inv255;
+      luma[i] = v;
+      sum += v;
+    }
   }
   if (subtract_mean) {
     float mean = (float)(sum / (double)npx);
