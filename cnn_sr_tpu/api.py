@@ -111,9 +111,10 @@ def _swap_luma_jit(rgba, y):
     return swap_luma(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("add_mean",))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
 def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w,
-                        add_mean: bool = False):
+                        use_pallas: bool = False, add_mean: bool = False,
+                        pallas_f32: bool = False):
     """RGB-model analog of ``_luma_forward_padded``: per-channel
     valid-region mean subtraction on an edge-padded image."""
     rgb = rgba_padded[..., :3].astype(jnp.float32) / 255.0
@@ -123,7 +124,14 @@ def _rgb_forward_padded(params, rgba_padded, valid_h, valid_w,
     valid = ((rows < valid_h) & (cols < valid_w))[..., None]
     count = valid_h.astype(jnp.float32) * valid_w.astype(jnp.float32)
     mean = jnp.sum(jnp.where(valid, rgb, 0.0), axis=(0, 1), keepdims=True) / count
-    y = forward(params, (rgb - mean)[None])[0]
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, (rgb - mean)[None], dtype=dt,
+                          input_int8=not pallas_f32)[0]
+    else:
+        y = forward(params, (rgb - mean)[None])[0]
     return y + mean if add_mean else y
 
 
@@ -132,7 +140,8 @@ def _swap_rgb_jit(rgba, y):
     return swap_rgb(rgba, y)
 
 
-def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int):
+def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool,
+                          pallas_f32: bool = False):
     h, w = rgba.shape[:2]
     shrink = cfg.total_padding()
     hp = -(-h // bucket) * bucket
@@ -140,7 +149,8 @@ def _upscale_rgb_bucketed(cfg, params, rgba, bucket: int):
     padded = np.pad(rgba, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     y = _rgb_forward_padded(
         params, jnp.asarray(padded), jnp.int32(h), jnp.int32(w),
-        add_mean=cfg.zero_mean_target,
+        use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
+        pallas_f32=pallas_f32,
     )
     y_valid = y[: h - shrink, : w - shrink]
     return np.asarray(_swap_rgb_jit(jnp.asarray(rgba), y_valid))
@@ -190,12 +200,18 @@ def upscale_image(
     checkpoint measures ~0.9 dB better under f32 — docs/BENCHMARKS.md).
     """
     pallas_f32 = pallas_precision == "f32"
+    shrink = cfg.total_padding()
+    if rgba.shape[0] <= shrink or rgba.shape[1] <= shrink:
+        raise ValueError(
+            f"image {rgba.shape[1]}x{rgba.shape[0]} is not larger than the "
+            f"model's receptive field ({shrink}+1 px per side)")
     params_j = jax.tree.map(jnp.asarray, params)
     if bucket > 0:
         if cfg.channels == 1:
             return _upscale_luma_bucketed(cfg, params_j, np.asarray(rgba),
                                           bucket, use_pallas, pallas_f32)
-        return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket)
+        return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket,
+                                     use_pallas, pallas_f32)
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas,
@@ -239,6 +255,11 @@ def upscale_batch(
 ) -> np.ndarray:
     """Batched upscaling of same-sized images (S, H, W, 4) → (S, H, W, 3)."""
     pallas_f32 = pallas_precision == "f32"
+    shrink = cfg.total_padding()
+    if rgbas.shape[1] <= shrink or rgbas.shape[2] <= shrink:
+        raise ValueError(
+            f"images {rgbas.shape[2]}x{rgbas.shape[1]} are not larger than "
+            f"the model's receptive field ({shrink}+1 px per side)")
     params_j = jax.tree.map(jnp.asarray, params)
     imgs = jnp.asarray(rgbas)
     if cfg.channels == 1:

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import zipfile
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -85,7 +87,10 @@ def load_full_state(params_path: str, state) -> Optional[np.random.Generator]:
             rng_state = json.loads(bytes(z["rng_state"]).decode())
         rng = np.random.default_rng()
         rng.bit_generator.state = rng_state
-    except (KeyError, ValueError, OSError, json.JSONDecodeError, TypeError):
+    except (KeyError, ValueError, OSError, json.JSONDecodeError, TypeError,
+            zipfile.BadZipFile, zlib.error):
+        # np.load surfaces a killed-mid-write/truncated .npz as BadZipFile
+        # (not an OSError subclass) and a corrupt member as zlib.error
         return None  # truncated/corrupt sidecar -> fresh momentum/RNG
     for dst, src in zip(state.prev_delta, prev):
         dst["w"] = src["w"]

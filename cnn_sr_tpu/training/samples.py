@@ -44,11 +44,21 @@ def find_training_samples(dir_path: str) -> List[Tuple[str, str]]:
             print(f"'{name}' is not a sample image. Skipping")
             continue
         if stem.endswith("_large"):
-            by_base.setdefault(stem[: -len("_large")], {})["large"] = path
+            role, base = "large", stem[: -len("_large")]
         elif stem.endswith("_small"):
-            by_base.setdefault(stem[: -len("_small")], {})["small"] = path
+            role, base = "small", stem[: -len("_small")]
         else:
             print(f"'{name}' is not a sample image. Skipping")
+            continue
+        node = by_base.setdefault(base, {})
+        if role in node:
+            # e.g. x_large.jpg AND x_large.png after a --format switch
+            # without cleaning: pairing either silently risks mixing a
+            # stale file into the set — make the ambiguity fatal
+            raise ValueError(
+                f"ambiguous sample: both '{node[role]}' and '{path}' "
+                f"claim {base}_{role}; remove one")
+        node[role] = path
 
     pairs = []
     for base in sorted(by_base):

@@ -135,3 +135,42 @@ def test_rgb_bucketed_upscale_identical():
         exact = upscale_image(cfg, params, rgba)
         bucketed = upscale_image(cfg, params, rgba, bucket=32)
         np.testing.assert_array_equal(bucketed, exact, err_msg=f"shape {h}x{w}")
+
+
+def test_rgb_bucketed_pallas_close():
+    """Bucketed RGB must honor use_pallas/pallas_precision (it silently
+    dropped them before): f32 fused == XLA exactly; bf16 within
+    tolerance."""
+    raw = {
+        "channels": 3,
+        "layers": [{"n": 8, "f": 3}, {"n": 8, "f": 3}, {"n": 3, "f": 3}],
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3] * 3,
+        "parameters_distribution": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        },
+    }
+    cfg = parse_config(raw)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=8)
+    rng = np.random.default_rng(9)
+    rgba = rng.integers(0, 256, (30, 40, 4), dtype=np.uint8)
+    exact = upscale_image(cfg, params, rgba, bucket=32).astype(int)
+    f32 = upscale_image(cfg, params, rgba, bucket=32, use_pallas=True,
+                        pallas_precision="f32").astype(int)
+    assert np.abs(f32 - exact).max() <= 1
+    bf16 = upscale_image(cfg, params, rgba, bucket=32,
+                         use_pallas=True).astype(int)
+    assert np.abs(bf16 - exact).max() <= 6
+
+
+def test_upscale_rejects_tiny_images():
+    """Images not larger than the receptive field get a clean ValueError
+    (previously an opaque XLA negative-slice crash deep in swap-luma)."""
+    cfg = parse_config({**CFG, "n1": 8, "n2": 8, "f1": 9, "f2": 5, "f3": 5})
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=2)
+    tiny = np.zeros((16, 30, 4), np.uint8)  # shrink = 16
+    with pytest.raises(ValueError, match="receptive field"):
+        upscale_image(cfg, params, tiny, bucket=64)
+    with pytest.raises(ValueError, match="receptive field"):
+        upscale_batch(cfg, params, tiny[None])

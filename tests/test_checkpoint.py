@@ -143,3 +143,16 @@ def test_cli_full_state_flag(tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Resumed full training state" in r.stdout
+
+
+def test_sidecar_corrupt_file_ignored(tmp_path):
+    """A truncated/garbage sidecar (killed mid-write) must fall back to
+    fresh momentum/RNG, not crash resume (np.load raises BadZipFile,
+    which is not an OSError)."""
+    cfg = parse_config(CFG)
+    st = init_train_state(cfg, seed=0)
+    params_path = str(tmp_path / "p.json")
+    save_parameters_file(params_path, st.params, epochs=st.epochs)
+    with open(sidecar_path(params_path), "wb") as f:
+        f.write(b"PK\x03\x04 definitely not a real zip")
+    assert load_full_state(params_path, st) is None

@@ -5,6 +5,7 @@ import json
 import os
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -194,3 +195,17 @@ def test_serve_spatial_shard_mode(cfg_path):
         worker.stop(); server.shutdown()
     assert out.shape == ref.shape
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_serve_rejects_oversized_body(cfg_path):
+    server, worker, port = _start_server(cfg_path)
+    worker.max_body_bytes = 1024  # shrink the limit for the test
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/upscale", data=b"x" * 2048,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+    finally:
+        worker.stop(); server.shutdown()

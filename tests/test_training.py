@@ -187,3 +187,21 @@ def test_zero_validation_percent_both_dispatch_paths():
                          epochs_per_dispatch=epd, seed=0, log=logs.append)
         assert not err and state.epochs == 5
         assert any("Validation set is empty" in l for l in logs)
+
+
+def test_find_training_samples_rejects_ambiguous_extensions(tmp_path):
+    """x_large.jpg AND x_large.png in one directory is fatal (silently
+    pairing either risks mixing a stale file into the set)."""
+    import pytest
+    from PIL import Image
+
+    from cnn_sr_tpu.training.samples import find_training_samples
+
+    d = tmp_path / "samples"
+    d.mkdir()
+    img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    img.save(str(d / "a_large.jpg"))
+    img.save(str(d / "a_large.png"))
+    img.save(str(d / "a_small.jpg"))
+    with pytest.raises(ValueError, match="ambiguous sample"):
+        find_training_samples(str(d))

@@ -80,7 +80,8 @@ class DeviceWorker(threading.Thread):
                  batch_wait_ms: float = 3.0, bucket: int = 0,
                  job_timeout_s: float = 600.0,
                  pallas_precision: str = "bf16",
-                 spatial_shard: int = 0):
+                 spatial_shard: int = 0,
+                 max_body_bytes: int = 64 * 1024 * 1024):
         super().__init__(daemon=True, name="device-worker")
         self.slots = slots
         self.use_pallas = use_pallas
@@ -88,6 +89,7 @@ class DeviceWorker(threading.Thread):
         # >0: latency mode — every image's rows span this many devices
         # (halo-exchange spatial sharding) instead of batching requests
         self.spatial_shard = spatial_shard
+        self.max_body_bytes = max_body_bytes
         self.scale = scale
         self.max_batch = max(1, max_batch)
         self.batch_wait_s = max(0.0, batch_wait_ms) / 1e3
@@ -278,7 +280,15 @@ def build_handler(worker: DeviceWorker):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > worker.max_body_bytes:
+                    self._reply_json(
+                        {"error": f"body {length} bytes exceeds the "
+                                  f"{worker.max_body_bytes}-byte limit"},
+                        code=413)
+                    return
                 raw = self.rfile.read(length)
+                # PIL's own decompression-bomb guard (Image.MAX_IMAGE_PIXELS)
+                # stays active and bounds the decoded size
                 with Image.open(io.BytesIO(raw)) as im:
                     rgba = np.asarray(im.convert("RGBA"), dtype=np.uint8)
             except Exception as e:  # noqa: BLE001 — bad input is a client error
@@ -320,13 +330,15 @@ def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
                 use_pallas: bool = False, scale: float = 1.0,
                 max_batch: int = 8, batch_wait_ms: float = 3.0,
                 bucket: int = 0, job_timeout_s: float = 600.0,
-                pallas_precision: str = "bf16", spatial_shard: int = 0):
+                pallas_precision: str = "bf16", spatial_shard: int = 0,
+                max_body_bytes: int = 64 * 1024 * 1024):
     """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
     worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
                           bucket=bucket, job_timeout_s=job_timeout_s,
                           pallas_precision=pallas_precision,
-                          spatial_shard=spatial_shard)
+                          spatial_shard=spatial_shard,
+                          max_body_bytes=max_body_bytes)
     server = ThreadingHTTPServer((host, port), build_handler(worker))
     return server, worker
 
@@ -360,6 +372,8 @@ def main(argv=None) -> int:
                         "devices (halo-exchange) instead of batching "
                         "requests — for multi-chip hosts serving large "
                         "frames (0 = off)")
+    p.add_argument("--max-body-mb", type=int, default=64,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--job-timeout", type=float, default=600.0,
                    help="seconds a request waits for the device worker "
                         "(first-touch kernel compiles can take minutes)")
@@ -385,7 +399,8 @@ def main(argv=None) -> int:
         batch_wait_ms=args.batch_wait_ms, bucket=args.bucket,
         job_timeout_s=args.job_timeout,
         pallas_precision=args.pallas_precision,
-        spatial_shard=args.spatial_shard)
+        spatial_shard=args.spatial_shard,
+        max_body_bytes=args.max_body_mb * 1024 * 1024)
     worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")

@@ -64,17 +64,14 @@ rng = np.random.default_rng(0)
 img = jnp.asarray(rng.integers(0, 256, (1080, 1920, 4), dtype=np.uint8))
 
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which not in ("all", "flagship", "rgb"):
+    sys.exit(f"unknown mode {which!r}: expected all|flagship|rgb "
+             "(tile specs come after the mode)")
 
 if which in ("all", "flagship"):
-    cfg = parse_config({
-        "n1": 64, "n2": 32, "f1": 9, "f2": 5, "f3": 5,
-        "momentum": 0.9, "weight_decay_parameter": 0.0001,
-        "learning_rates": [1e-4, 1e-4, 1e-5],
-        **{f"parameters_distribution_{i}": {
-            "mean_w": 0.0, "mean_b": 0.0,
-            "std_deviation_w": 0.005, "std_deviation_b": 0.0,
-        } for i in (1, 2, 3)},
-    })
+    from __graft_entry__ import _flagship  # the one flagship definition
+
+    cfg = _flagship()
     params = jparams(cfg)
     ftiles = [(64, 256, 0)]
     if len(sys.argv) > 2:
