@@ -151,6 +151,14 @@ def run_forward(args, cfg, profiler) -> int:
     from .ops.image import load_image, write_image
     from .training.trainer import init_train_state
 
+    # training treats a missing parameters file as "train from scratch"
+    # (reference semantics); forward mode with random weights only ever
+    # produces garbage — fail loudly instead
+    if cfg.parameters_file and not os.path.isfile(cfg.parameters_file):
+        print(f"Parameters file not found: '{cfg.parameters_file}' "
+              "(forward mode needs trained weights)")
+        return 1
+
     state = init_train_state(cfg, seed=args.seed)
 
     if os.path.isdir(args.in_path):

@@ -224,15 +224,25 @@ def _read_distribution(obj: dict) -> ParametersDistribution:
 def parse_config(raw: dict, base_dir: Optional[str] = None) -> Config:
     """Build + validate a Config from a parsed JSON object.
 
-    ``base_dir``: directory the config file lives in; a relative
-    ``parameters_file`` is kept as-is (the reference resolves it relative
-    to the process cwd — we preserve that behavior, callers may resolve).
+    ``base_dir``: directory the config file lives in. A relative
+    ``parameters_file`` stays cwd-relative (reference behavior) when it
+    resolves from the cwd; when it does NOT but does resolve relative to
+    the config's own directory, the config-relative path is used — so
+    shipped configs like ``configs/srcnn_9-5-5_pretrained.json`` work
+    from any working directory instead of silently random-initializing.
     """
+    import os
+
     if not isinstance(raw, dict):
         raise ConfigError("config root must be a JSON object")
 
     channels = int(raw.get("channels", 1))
     params_file = raw.get("parameters_file") or None
+    if (params_file and base_dir and not os.path.isabs(params_file)
+            and not os.path.isfile(params_file)):
+        alt = os.path.join(base_dir, params_file)
+        if os.path.isfile(alt):
+            params_file = alt
 
     if "layers" in raw:
         # generic layer-list schema

@@ -26,9 +26,9 @@ def test_pretrained_checkpoint_loads():
 
     cfg = read_config(CFG)
     assert cfg.zero_mean_target and not cfg.last_layer_relu_gate
-    assert cfg.parameters_file == "pretrained/srcnn_9-5-5_synthetic.json"
+    assert os.path.samefile(cfg.parameters_file, CKPT)
     params, epochs = load_parameters_file(CKPT, cfg.layer_specs())
-    assert epochs == 16000
+    assert epochs == 24000
     shapes = [p["w"].shape for p in params]
     assert shapes == [(9, 9, 1, 64), (5, 5, 64, 32), (5, 5, 32, 1)]
     for p in params:
