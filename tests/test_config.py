@@ -142,3 +142,45 @@ def test_extended_layer_list_rgb():
     assert specs[-1].n_out == 3 and not specs[-1].relu
     assert all(s.relu for s in specs[:-1])
     assert cfg.total_padding() == 7 * 2
+
+
+def test_parameters_file_config_relative_fallback(tmp_path, monkeypatch):
+    """A relative parameters_file that misses from the cwd resolves
+    relative to the config file (shipped pretrained configs work from
+    any working directory); cwd-relative wins when it exists, and a
+    path that resolves nowhere is kept as-is (training semantics:
+    warn + fresh init)."""
+    import json as _json
+    import os
+
+    from cnn_sr_tpu.utils.config import read_config
+
+    base = {
+        "n1": 4, "n2": 2, "f1": 3, "f2": 1, "f3": 3,
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3, 1e-3, 1e-4],
+        **{f"parameters_distribution_{i}": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        } for i in (1, 2, 3)},
+    }
+    cfgdir = tmp_path / "configs"
+    cfgdir.mkdir()
+    (cfgdir / "w.json").write_text("{}")  # the config-relative target
+    cwd = tmp_path / "elsewhere"
+    cwd.mkdir()
+    monkeypatch.chdir(str(cwd))
+
+    p = cfgdir / "cfg.json"
+    p.write_text(_json.dumps(dict(base, parameters_file="w.json")))
+    cfg = read_config(str(p))
+    assert os.path.samefile(cfg.parameters_file, str(cfgdir / "w.json"))
+
+    # cwd-relative wins when it exists (reference behavior)
+    (cwd / "w.json").write_text("{}")
+    cfg = read_config(str(p))
+    assert cfg.parameters_file == "w.json"
+
+    # resolves nowhere -> kept as-is
+    p.write_text(_json.dumps(dict(base, parameters_file="nope.json")))
+    assert read_config(str(p)).parameters_file == "nope.json"
