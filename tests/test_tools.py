@@ -153,3 +153,16 @@ def test_schedule_training_convert_and_dry(tmp_path, monkeypatch):
     logs = os.listdir(str(tmp_path / "logs"))
     assert any(n.startswith("log_") for n in logs)
     assert any(n.startswith("parameters_") for n in logs)
+
+    # trailing args forward verbatim to each cnn.py invocation
+    calls.clear()
+    rc = st.main([
+        "-c", "cfg.json", "-i", "samples", "--epochs", "500",
+        "--epochs-per-iteration", "500",
+        "--params-file", str(tmp_path / "params.json"),
+        "--logs-dir", str(tmp_path / "logs"),
+        "--", "--train-precision", "bf16", "--data-parallel", "4",
+    ])
+    assert rc == 0
+    assert calls[0][-4:] == ["--train-precision", "bf16",
+                             "--data-parallel", "4"]

@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                    help="pass --full-state to each iteration (momentum + "
                    "RNG survive across iterations) and snapshot the "
                    "'.state.npz' sidecar too")
+    p.add_argument("extra", nargs="*", default=[],
+                   help="arguments after '--' are forwarded verbatim to "
+                   "each cnn.py train invocation (e.g. -- "
+                   "--train-precision bf16 --data-parallel 4)")
     args = p.parse_args(argv)
 
     if args.duration:
@@ -72,6 +76,7 @@ def main(argv=None) -> int:
         cmd += ["-o", args.params_file]
     if args.full_state:
         cmd.append("--full-state")
+    cmd += args.extra
     print(f"Command to execute:\n'{' '.join(cmd)}'")
     print(f"Will do {iters} iterations x {per_iter} epochs = {total_epochs} total")
 
