@@ -196,8 +196,8 @@ def upscale_image(
 
     ``pallas_precision``: "bf16" (default stream) or "f32" (exact fused
     kernel) — only meaningful with ``use_pallas``. Shallow models lose
-    <0.01 dB to bf16; deep stacks compound the rounding (the 7-layer RGB
-    checkpoint measures ~0.9 dB better under f32 — docs/BENCHMARKS.md).
+    <0.01 dB to bf16; deep stacks CAN compound the rounding
+    (weight-dependent — PSNR-gate per checkpoint; docs/BENCHMARKS.md).
     """
     pallas_f32 = pallas_precision == "f32"
     shrink = cfg.total_padding()
