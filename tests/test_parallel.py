@@ -188,3 +188,44 @@ def test_spatial_sharded_fused_forward(devices):
     np.testing.assert_allclose(
         np.asarray(y_sharded), np.asarray(y_ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_upscale_image_spatial_rgb_and_luma(devices):
+    """api.upscale_image_spatial end-to-end on the virtual mesh: both
+    model families, including the bottom-pad (H % N != 0) path, must
+    match the single-device api output."""
+    from cnn_sr_tpu.api import upscale_image, upscale_image_spatial
+    from cnn_sr_tpu.utils.config import parse_config
+    from cnn_sr_tpu.utils.params_io import random_parameters
+
+    rng = np.random.default_rng(21)
+    # RGB model, 30 rows over 4 shards -> pad path
+    cfg = parse_config({
+        "channels": 3,
+        "layers": [{"n": 8, "f": 3}, {"n": 8, "f": 3}, {"n": 3, "f": 3}],
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3] * 3,
+        "parameters_distribution": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0},
+    })
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=3)
+    rgba = rng.integers(0, 256, (30, 40, 4), dtype=np.uint8)
+    ref = upscale_image(cfg, params, rgba).astype(int)
+    out = upscale_image_spatial(cfg, params, rgba, 4).astype(int)
+    assert np.abs(out - ref).max() <= 1
+    # luma model, exact-divisibility path
+    cfg2 = parse_config({
+        "n1": 6, "n2": 4, "f1": 5, "f2": 3, "f3": 3,
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3] * 3,
+        **{f"parameters_distribution_{i}": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        } for i in (1, 2, 3)},
+    })
+    params2 = random_parameters(cfg2.layer_specs(), cfg2.distributions, seed=4)
+    rgba2 = rng.integers(0, 256, (32, 44, 4), dtype=np.uint8)
+    ref2 = upscale_image(cfg2, params2, rgba2).astype(int)
+    out2 = upscale_image_spatial(cfg2, params2, rgba2, 2).astype(int)
+    assert np.abs(out2 - ref2).max() <= 1
