@@ -84,18 +84,28 @@ _DEBUG_SKIP: frozenset = frozenset()
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
-                     "chunk_rows", "pack_last"),
+                     "chunk_rows", "pack_last", "l1_gpack", "l1_dstep"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
                        chunk_rows: int = _MM_CHUNK_ROWS,
-                       pack_last: int = 1):
+                       pack_last: int = 1, l1_gpack: int = 1,
+                       l1_dstep: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
     ``wbs``: flat [w2, b2, ..., wL, bL] pre-reshaped weights
     (see ``_prepare_tail_weights``) in ``dtype`` (biases f32);
     ``dims``: static ((f, k, n), ...) per tail layer.
+
+    ``l1_gpack`` = G > 1 turns on the dy-packed folded first layer
+    (requires ``dims[0]`` f == 1 and a dy-packed input from
+    ``_im2col_patches``): the patch array packs only ``l1_dstep`` = D
+    dy-taps in its lanes (D·f₁·c planes instead of f₁²·c — the XLA-side
+    shifted-slice stack is shuffle-bound, ∝ plane count) and the kernel
+    covers all f₁ dy-taps with G row-shifted K=D·f₁·c dots accumulated
+    in f32 (weight slab g holds rows dy ∈ [g·D, g·D+D), zeros past f₁).
+    Layer 1 then consumes (G−1)·D extra input ROWS; columns pack fully.
 
     ``pack_last`` = P > 1 turns on the packed-dx last layer: the
     producer layer stores P column-shifted copies of its output in the
@@ -112,9 +122,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     ns = [d[2] for d in dims]
     shrinks = [f - 1 for f in fs]
     shrink = sum(shrinks)
+    # dy-packed first layer: (G−1)·D extra rows consumed by layer 1
+    # (row-only — dx taps are fully lane-packed, widths are untouched)
+    l1_ext = (l1_gpack - 1) * l1_dstep if (fs and fs[0] == 1) else 0
 
     h, w_dim, c_in = a.shape
-    out_h, out_w = h - shrink, w_dim - shrink
+    out_h, out_w = h - shrink - l1_ext, w_dim - shrink
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
     # the input window streams in the array's own dtype: int8 patch
     # arrays (quantized folded-conv1 inputs) ride half the DMA bytes and
@@ -126,7 +139,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # packed-dtype W tiling: (8, 128)·(32/bits) sublanes per tile
     sub_align = {jnp.dtype(jnp.int8): 32,
                  jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
-    win_h = tile_h + shrink
+    win_h = tile_h + shrink + l1_ext
     # Per-layer buffer widths, computed back-to-front and padded to
     # sublane (8) multiples: an 8-aligned width makes the im2col collapse
     # (ph, ow, f·k) → (ph·ow, f·k) a free relayout-less view (each 2D
@@ -156,8 +169,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     ).astype(win_dt)
 
     hs = [win_h]
-    for s in shrinks:
-        hs.append(hs[-1] - s)
+    for li, s in enumerate(shrinks):
+        hs.append(hs[-1] - s - (l1_ext if li == 0 else 0))
 
     n_out = ns[-1]
     # activations feeding MXU layers stream in `dtype` (their consumers
@@ -181,8 +194,16 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         if fs[li] > 1 and (n_layers <= 4 or fs[li] * ks[li] <= 128)
     )
     # a first f=1 layer reads the whole lane-padded window: widen its
-    # weight rows with zeros to match (pad lanes are zeros from `ap`)
-    if fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
+    # weight rows with zeros to match (pad lanes are zeros from `ap`).
+    # dy-packed (G>1): wbs[0] is G stacked (k_d, n) slabs — pad EACH
+    # slab to c_pad rows so slab g starts at row g·c_pad
+    if fs and fs[0] == 1 and l1_gpack > 1:
+        wbs = list(wbs)
+        w0 = wbs[0].reshape(l1_gpack, -1, ns[0])
+        wbs[0] = jnp.pad(
+            w0, ((0, 0), (0, c_pad - w0.shape[1]), (0, 0))
+        ).reshape(l1_gpack * c_pad, ns[0])
+    elif fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
     # z scratch for every f>1 middle layer; patch scratch only for the
@@ -277,18 +298,26 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     continue  # triage: leave act garbage, measure the rest
                 # 1x1 layer (pre-im2col'd first layer / 9-1-5's middle):
                 # the matmul operand is a free full-width collapse of the
-                # source ref itself — no patch scratch, no phase combine
+                # source ref itself — no patch scratch, no phase combine.
+                # dy-packed first layer (G>1): G row-shifted dots against
+                # the per-dy-group weight slabs, accumulated in f32
                 kk = c_pad if li == 0 else ks[li]
+                gcnt = l1_gpack if li == 0 else 1
                 for c0 in range(0, oh, ch):
                     ce = min(c0 + ch, oh)
-                    opnd = src[c0:ce, 0:ow, 0:kk]
-                    if opnd.dtype != dtype:  # int8 window → dtype operand
-                        opnd = opnd.astype(dtype)
-                    y = jnp.dot(
-                        opnd.reshape((ce - c0) * ow, kk),
-                        w_ref[...],
-                        preferred_element_type=jnp.float32,
-                    )
+                    y = None
+                    for gi in range(gcnt):
+                        r0 = c0 + gi * l1_dstep
+                        opnd = src[r0 : r0 + (ce - c0), 0:ow, 0:kk]
+                        if opnd.dtype != dtype:  # int8 window → dtype operand
+                            opnd = opnd.astype(dtype)
+                        yg = jnp.dot(
+                            opnd.reshape((ce - c0) * ow, kk),
+                            w_ref[gi * kk : (gi + 1) * kk]
+                            if gcnt > 1 else w_ref[...],
+                            preferred_element_type=jnp.float32,
+                        )
+                        y = yg if y is None else y + yg
                     store_act(li, c0, ce, jnp.maximum(
                         y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
                     ).astype(act_dt))
@@ -452,10 +481,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
 
 
-def _im2col_patches(x, f: int, dtype, int8: bool = False):
+def _im2col_patches(x, f: int, dtype, int8: bool = False,
+                    dpack: int = 0):
     """(N, H, W, k) → (N, H−f+1, W−f+1, f²·k) patches, channel index
     (dy·f + dx)·k + c — the same flattening as HWIO weights reshaped to
     (f²·k, n). Feeds the kernel's folded first layer (a 1x1 matmul).
+
+    ``dpack`` = D with 0 < D < f builds the dy-PACKED array instead:
+    only D dy-taps in lanes (channel (d·f + dx)·k + c = x[y+d, x+dx, c],
+    D·f·k planes instead of f²·k — the shifted-slice stack below is the
+    measured build bottleneck, shuffle-bound and ∝ plane count) at
+    height H−f+1+(G−1)·D with G = ⌈f/D⌉; the kernel covers dy-taps
+    [g·D, g·D+D) from patch rows y+g·D (see ``_fused_tail_single``
+    ``l1_gpack``). Rows past the source (G·D > f) are zero-filled and
+    only ever multiplied by the slabs' zero tail weights.
 
     Built as a stack of 2D planes + transpose: slicing (…, H, W, 1)
     views directly would materialize f²·k single-channel temps that TPU
@@ -470,8 +509,13 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False):
     the 1/127 scale folds into the folded first layer's weights. The
     quantization step (1/254 on unit scale) sits below the bf16 stream
     path's own rounding envelope."""
-    oh = x.shape[1] - f + 1
+    dcnt = dpack if 0 < dpack < f else f
+    gcnt = -(-f // dcnt)
+    oh = x.shape[1] - f + 1 + (gcnt - 1) * dcnt
     ow = x.shape[2] - f + 1
+    row_pad = gcnt * dcnt - f
+    if row_pad:
+        x = jnp.pad(x, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
     if int8:
         xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
     else:
@@ -480,12 +524,12 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False):
     planes = jnp.stack(
         [
             xb[:, dy : dy + oh, dx : dx + ow, c]
-            for dy in range(f)
+            for dy in range(dcnt)
             for dx in range(f)
             for c in range(k)
         ],
         axis=1,
-    )  # (N, f²·k, oh, ow) — 2D-tiled slices, no channel padding
+    )  # (N, D·f·k, oh, ow) — 2D-tiled slices, no channel padding
     return planes.transpose(0, 2, 3, 1)
 
 
@@ -525,7 +569,7 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1) -> List[jnp.ndarray
 
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16, chunk_rows: int = 0,
-                  input_int8: bool = False):
+                  input_int8: bool = False, l1_dstep: int = -1):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     XLA builds the first layer's im2col patch array; ALL conv layers run
@@ -587,14 +631,40 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
     )
+    l1_gpack = 1
     if kpack <= 256:
         # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
         use_int8 = input_int8 and dtype != jnp.float32
-        dims = ((1, kpack, n1),) + tail_dims
         w1m = w1 / 127.0 if use_int8 else w1  # fold the int8 scale
-        wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
+        # dy-packed build: pack only D dy-taps (D·f₁·c planes instead
+        # of f₁²·c in the shifted-slice stack) and let the kernel run
+        # G = ⌈f₁/D⌉ row-shifted dots. Measured 2026-08-17 (interleaved
+        # A/B, docs/BENCHMARKS.md): +1.5% on the flagship at D=5/G=2
+        # (fewer stack reads; the array lane-pads to 128 either way so
+        # DMA bytes are unchanged), FLAT on deep RGB for every D —
+        # plane count alone doesn't pay because the build is
+        # write-bound on the lane-padded output. Auto (−1): G=2 split
+        # only when the packed lanes still fit ONE 128-lane group;
+        # 0/f₁ → full pack.
+        if l1_dstep < 0:
+            d_half = -(-f1 // 2)
+            l1_dstep = d_half if (f1 >= 7 and d_half * f1 * c1 <= 128) else 0
+        if 0 < l1_dstep < f1:
+            dcnt = l1_dstep
+            l1_gpack = -(-f1 // dcnt)
+            kd = dcnt * f1 * c1
+            wp = jnp.pad(
+                w1m, ((0, l1_gpack * dcnt - f1), (0, 0), (0, 0), (0, 0))
+            )
+            wbs = [wp.reshape(l1_gpack, kd, n1)
+                   .reshape(l1_gpack * kd, n1).astype(dtype), b1]
+            dims = ((1, kd, n1),) + tail_dims
+        else:
+            l1_dstep = 0
+            wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
+            dims = ((1, kpack, n1),) + tail_dims
         wbs += _prepare_tail_weights(params[1:], dtype, pack_last)
-        a1 = _im2col_patches(x, f1, dtype, int8=use_int8)
+        a1 = _im2col_patches(x, f1, dtype, int8=use_int8, dpack=l1_dstep)
     else:
         dims = tail_dims
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last)
@@ -602,7 +672,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     outs = [
         _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
                            interpret=interpret, dtype=dtype,
-                           chunk_rows=chunk_rows, pack_last=pack_last)
+                           chunk_rows=chunk_rows, pack_last=pack_last,
+                           l1_gpack=l1_gpack, l1_dstep=l1_dstep)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -168,3 +168,39 @@ def test_fused_rgb_output():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
     yb = fused_forward(params, x, tile_h=16, tile_w=128)
     assert float(jnp.abs(yb - y_ref).max()) < 0.1
+
+
+@pytest.mark.parametrize("D", [3, 4, 5])
+def test_fused_dy_packed_first_layer(D):
+    """dy-packed folded first layer (``l1_dstep``): the patch array
+    packs only D dy-taps in lanes and the kernel covers all f1 taps
+    with G row-shifted dots — must match the full-pack path exactly,
+    including the G·D > f1 zero-tail case (D=4 → 12 > 9) and int8."""
+    rng = np.random.default_rng(7)
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
+    x = jnp.asarray((rng.random((1, 70, 150, 1)) - 0.45).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                      l1_dstep=D)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    yi = fused_forward(params, x, tile_h=16, tile_w=128, input_int8=True,
+                       l1_dstep=D)
+    assert float(jnp.abs(yi - y_ref).max()) < 0.02
+
+
+def test_fused_dy_packed_rgb_deep():
+    """dy-pack on a deep RGB stack: f1=9, c1=3 → full pack is 243
+    channels (256 padded window lanes); D=4 fits 108 in one 128-lane
+    group. Exact parity in f32."""
+    rng = np.random.default_rng(8)
+    params = _params(rng, [(9, 3, 8), (3, 8, 8), (3, 8, 8), (3, 8, 8),
+                           (3, 8, 8), (3, 8, 8), (5, 8, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 60, 140, 3)).astype(np.float32))
+    y_ref = forward(params, x)
+    for D in (3, 4):
+        y = fused_forward(params, x, tile_h=16, tile_w=128,
+                          dtype=jnp.float32, l1_dstep=D)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
