@@ -204,3 +204,30 @@ def test_fused_dy_packed_rgb_deep():
                           dtype=jnp.float32, l1_dstep=D)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_deep_channel_last_layer_unpacked():
+    """k>64 last layers: no dx-pack fits (pack_last degenerates to 1
+    with f>1), so the VPU tap loop runs unpacked — the 7-layer RGB
+    production shape class (k=128 ⇒ full 128-lane utilization anyway;
+    the MXU all-phase alternative measured 4% slower,
+    docs/BENCHMARKS.md). Covers RGB (n_out=3) and luma (n_out=1)."""
+    rng = np.random.default_rng(9)
+    # RGB deep stack: last layer k=72 > 64 → pack_last=1, f=3 → mm_last
+    params = _params(rng, [(3, 3, 8), (3, 8, 72), (3, 72, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 60, 140, 3)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=48, tile_w=128, dtype=jnp.float32)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+    # bf16 streaming stays within the usual envelope
+    yb = fused_forward(params, x, tile_h=48, tile_w=128)
+    assert float(jnp.abs(yb - y_ref).max()) < 0.15
+    # luma n_out=1, f=5 last layer with k=80
+    params = _params(rng, [(9, 1, 8), (5, 8, 80), (5, 80, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 70, 150, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
