@@ -18,7 +18,16 @@ vs_baseline is against the 50 MPix/s/chip target (BASELINE.md).
 Env knobs: BENCH_PALLAS=0 forces the plain XLA conv path (default 1 =
 the fused hybrid XLA-im2col + Pallas path); BENCH_INT8=0 disables the
 int8 patch array (reproduces the pre-int8 history rows in
-docs/BENCHMARKS.md); BENCH_ITERS (default 10).
+docs/BENCHMARKS.md); BENCH_ITERS (default 10); BENCH_HEALTH_WAIT_S
+(default 600) bounds the wait for tunnel recovery (see below).
+
+Tunnel-health gate: this chip's tunnel has documented episodic windows
+where EVERY program runs 15-20x slower and then self-recovers
+(docs/BENCHMARKS.md). A trivial-matmul probe runs first; if it reads
+degraded, the benchmark waits (re-probing every ~2 min, up to
+BENCH_HEALTH_WAIT_S) rather than recording a number that measures the
+tunnel instead of the kernel. If the window outlasts the wait, the
+measurement proceeds and the JSON gains "tunnel_degraded": true.
 """
 
 import json
@@ -29,6 +38,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def _tunnel_healthy(jax, jnp, threshold_s: float = 2.0) -> bool:
+    """Probe: 3 dependency-chained 4k bf16 matmuls + host readback.
+
+    Healthy runs finish in well under a second; the documented
+    degradation windows push this to minutes (a hello-world matmul once
+    measured 325 s — docs/BENCHMARKS.md)."""
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()  # compile outside the timed window
+    t0 = time.perf_counter()
+    r = x
+    for _ in range(3):
+        r = f(r)
+    bool(jnp.isfinite(r.astype(jnp.float32)).any())  # forced readback
+    return (time.perf_counter() - t0) < threshold_s
 
 
 def main():
@@ -42,6 +68,22 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     h, w = 1080, 1920
+
+    degraded = False
+    if jax.default_backend() != "cpu":
+        wait_budget = float(os.environ.get("BENCH_HEALTH_WAIT_S", "600"))
+        deadline = time.monotonic() + wait_budget
+        while not _tunnel_healthy(jax, jnp):
+            degraded = True
+            if time.monotonic() >= deadline:
+                print("# tunnel still degraded after wait; measuring anyway",
+                      file=sys.stderr)
+                break
+            print("# tunnel degraded (probe > 2s); waiting for recovery",
+                  file=sys.stderr)
+            time.sleep(120)
+        else:
+            degraded = False
 
     cfg = _flagship()
     params_np = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
@@ -99,12 +141,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (h * w) / dt / 1e6
-    print(json.dumps({
+    result = {
         "metric": "srcnn_9-5-5_1080p_upscale_throughput",
         "value": round(mpix_s, 2),
         "unit": "MPix/s",
         "vs_baseline": round(mpix_s / 50.0, 3),
-    }))
+    }
+    if degraded:
+        result["tunnel_degraded"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -166,3 +166,19 @@ def test_schedule_training_convert_and_dry(tmp_path, monkeypatch):
     assert rc == 0
     assert calls[0][-4:] == ["--train-precision", "bf16",
                              "--data-parallel", "4"]
+
+
+def test_patchbuild_probe_smoke(monkeypatch, capsys):
+    # variants must agree within 1 quantization LSB and print one
+    # timing line each (tiny shapes; timing values are meaningless here)
+    import patchbuild_probe as pb
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["patchbuild_probe.py", "--hw", "48x64", "--f", "9",
+         "--dpack", "5", "--iters", "1"],
+    )
+    pb.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 4
+    assert lines[0].startswith("int8")
