@@ -18,8 +18,11 @@ vs_baseline is against the 50 MPix/s/chip target (BASELINE.md).
 Env knobs: BENCH_PALLAS=0 forces the plain XLA conv path (default 1 =
 the fused hybrid XLA-im2col + Pallas path); BENCH_INT8=0 disables the
 int8 patch array (reproduces the pre-int8 history rows in
-docs/BENCHMARKS.md); BENCH_ITERS (default 10); BENCH_HEALTH_WAIT_S
-(default 600) bounds the wait for tunnel recovery (see below).
+docs/BENCHMARKS.md); BENCH_ITERS (default 10); BENCH_PACKED=0 feeds the
+rank-3 uint8 image instead of uint32 byte-packed pixels (identical
+output; the packed form keeps the color ends dense 2D on TPU);
+BENCH_HEALTH_WAIT_S (default 600) bounds the wait for tunnel recovery
+(see below).
 
 Tunnel-health gate: this chip's tunnel has documented episodic windows
 where EVERY program runs 15-20x slower and then self-recovers
@@ -62,7 +65,9 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
-    from cnn_sr_tpu.ops.color import extract_luma, subtract_mean, swap_luma
+    from cnn_sr_tpu.ops.color import (
+        extract_luma, extract_luma_packed, subtract_mean, swap_luma,
+        swap_luma_packed)
     from cnn_sr_tpu.utils.params_io import random_parameters
 
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
@@ -90,12 +95,19 @@ def main():
     params = [{"w": jnp.asarray(p["w"]), "b": jnp.asarray(p["b"])} for p in params_np]
 
     rng = np.random.default_rng(0)
-    rgba = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))
-    )
+    rgba_np = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    # packed IO: uint32 byte-packed pixels keep the image dense 2D on
+    # TPU (a rank-3 (H, W, 4) uint8 array lane-pads 4 -> 128); output is
+    # bit-identical (ops.color shares one expression core)
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
+    if packed:
+        rgba = jax.device_put(jnp.asarray(rgba_np.view(np.uint32)[..., 0]))
+    else:
+        rgba = jax.device_put(jnp.asarray(rgba_np))
 
     def pipeline(img, use_pallas):
-        luma = extract_luma(img, normalize=True)
+        luma = (extract_luma_packed(img, normalize=True) if packed
+                else extract_luma(img, normalize=True))
         luma0, _ = subtract_mean(luma)
         if use_pallas:
             from cnn_sr_tpu.ops.pallas_fused import fused_forward
@@ -107,6 +119,8 @@ def main():
             from cnn_sr_tpu.models import forward
 
             y = forward(params, luma0[None, ..., None])[0, ..., 0]
+        if packed:
+            return swap_luma_packed(img, y)
         return swap_luma(img, y)
 
     def make_chained(use_pallas):
@@ -116,7 +130,10 @@ def main():
                 out = pipeline(carry, use_pallas)
                 # thread one output pixel back into the input: a real data
                 # dependency so pipelined dispatch can't hide compute
-                nxt = carry.at[0, 0, 0].set(out[0, 0, 0])
+                if packed:
+                    nxt = carry.at[0, 0].set(out[0, 0])
+                else:
+                    nxt = carry.at[0, 0, 0].set(out[0, 0, 0])
                 return nxt, ()
 
             final, _ = jax.lax.scan(body, img, None, length=iters)

@@ -19,7 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import forward
-from .ops.color import extract_luma, subtract_mean, swap_luma, swap_rgb
+from .ops.color import (
+    extract_luma,
+    extract_luma_packed,
+    pack_rgba_host,
+    subtract_mean,
+    swap_luma,
+    swap_luma_packed,
+    swap_rgb,
+    unpack_rgb_host,
+)
 from .utils.config import Config
 
 
@@ -48,6 +57,30 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
     if add_mean:
         y = y + mean
     return swap_luma(rgba, y)
+
+
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+def _upscale_luma_packed_jit(params, rgba_u32, use_pallas: bool = False,
+                             add_mean: bool = False, pallas_f32: bool = False):
+    """Byte-packed twin of ``_upscale_luma_jit``: (H, W) uint32 RGBA in,
+    (H, W) uint32 RGB(A) out. Rank-3 (H, W, 4) uint8 arrays lane-pad
+    4 → 128 on TPU (32x physical bytes on every color-end read/write);
+    the packed form keeps the image dense 2D and turns channel access
+    into shift/mask ops. Bit-identical output (ops.color shares one
+    expression core between the two forms; pinned by tests)."""
+    luma = extract_luma_packed(rgba_u32, normalize=True)
+    luma0, mean = subtract_mean(luma)
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, luma0[None, ..., None], dtype=dt,
+                          input_int8=not pallas_f32)[0, ..., 0]
+    else:
+        y = forward(params, luma0[None, ..., None])[0, ..., 0]
+    if add_mean:
+        y = y + mean
+    return swap_luma_packed(rgba_u32, y)
 
 
 @partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
@@ -182,6 +215,7 @@ def upscale_image(
     use_pallas: bool = False,
     bucket: int = 0,
     pallas_precision: str = "bf16",
+    packed_io: bool = False,
 ) -> np.ndarray:
     """Run the network over a decoded uint8 RGBA image; returns uint8 RGB.
 
@@ -198,6 +232,11 @@ def upscale_image(
     kernel) — only meaningful with ``use_pallas``. Shallow models lose
     <0.01 dB to bf16; deep stacks CAN compound the rounding
     (weight-dependent — PSNR-gate per checkpoint; docs/BENCHMARKS.md).
+
+    ``packed_io``: run the luma pipeline's color ends on uint32
+    byte-packed pixels (dense 2D on TPU instead of a 4→128 lane-padded
+    rank-3 image; bit-identical output). Luma models, unbucketed path
+    only; ignored otherwise.
     """
     pallas_f32 = pallas_precision == "f32"
     shrink = cfg.total_padding()
@@ -212,6 +251,12 @@ def upscale_image(
                                           bucket, use_pallas, pallas_f32)
         return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket,
                                      use_pallas, pallas_f32)
+    if cfg.channels == 1 and packed_io:
+        out_u32 = _upscale_luma_packed_jit(
+            params_j, jnp.asarray(pack_rgba_host(np.asarray(rgba))),
+            use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
+            pallas_f32=pallas_f32)
+        return np.ascontiguousarray(unpack_rgb_host(np.asarray(out_u32)))
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas,
@@ -246,14 +291,40 @@ def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
     return jax.vmap(swap_luma)(rgbas, ys)
 
 
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+def _upscale_luma_batch_packed_jit(params, rgbas_u32, use_pallas: bool = False,
+                                   add_mean: bool = False,
+                                   pallas_f32: bool = False):
+    """Byte-packed twin of ``_upscale_luma_batch_jit``: (S, H, W) uint32
+    in/out (see ``_upscale_luma_packed_jit`` for the TPU rationale)."""
+    lumas = jax.vmap(lambda im: extract_luma_packed(im, normalize=True))(rgbas_u32)
+    means = jnp.mean(lumas, axis=(1, 2), keepdims=True)
+    lumas0 = lumas - means
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        ys = fused_forward(params, lumas0[..., None], dtype=dt,
+                           input_int8=not pallas_f32)[..., 0]
+    else:
+        ys = forward(params, lumas0[..., None])[..., 0]
+    if add_mean:
+        ys = ys + means
+    return jax.vmap(swap_luma_packed)(rgbas_u32, ys)
+
+
 def upscale_batch(
     cfg: Config,
     params,
     rgbas: np.ndarray,
     use_pallas: bool = False,
     pallas_precision: str = "bf16",
+    packed_io: bool = False,
 ) -> np.ndarray:
-    """Batched upscaling of same-sized images (S, H, W, 4) → (S, H, W, 3)."""
+    """Batched upscaling of same-sized images (S, H, W, 4) → (S, H, W, 3).
+
+    ``packed_io``: byte-packed color ends for luma models (bit-identical
+    output; dense 2D images on TPU) — see ``upscale_image``."""
     pallas_f32 = pallas_precision == "f32"
     shrink = cfg.total_padding()
     if rgbas.shape[1] <= shrink or rgbas.shape[2] <= shrink:
@@ -261,6 +332,12 @@ def upscale_batch(
             f"images {rgbas.shape[2]}x{rgbas.shape[1]} are not larger than "
             f"the model's receptive field ({shrink}+1 px per side)")
     params_j = jax.tree.map(jnp.asarray, params)
+    if cfg.channels == 1 and packed_io:
+        out_u32 = _upscale_luma_batch_packed_jit(
+            params_j, jnp.asarray(pack_rgba_host(np.asarray(rgbas))),
+            use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
+            pallas_f32=pallas_f32)
+        return np.ascontiguousarray(unpack_rgb_host(np.asarray(out_u32)))
     imgs = jnp.asarray(rgbas)
     if cfg.channels == 1:
         out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas,

@@ -35,6 +35,13 @@ YCBCR2G = jnp.array([1.0, -0.343, -0.711], dtype=jnp.float32)
 YCBCR2B = jnp.array([1.0, 1.765, 0.0], dtype=jnp.float32)
 
 
+def _luma_from_planes(r, g, b, normalize: bool):
+    # shared by the rank-3 and byte-packed entry points so the two are
+    # bit-identical by construction (same expression tree)
+    luma = r * 0.299 + g * 0.587 + b * 0.114
+    return luma / 255.0 if normalize else luma
+
+
 def extract_luma(image: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """uint8 RGB(A) (H, W, C>=3) → float32 luma (H, W).
 
@@ -42,11 +49,12 @@ def extract_luma(image: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     instance; the pipeline always uses the normalized one for model
     input — Main_cl.cpp:303-318).
     """
-    rgb = image[..., :3].astype(jnp.float32)
-    luma = rgb @ RGB2Y
-    if normalize:
-        luma = luma / 255.0
-    return luma
+    return _luma_from_planes(
+        image[..., 0].astype(jnp.float32),
+        image[..., 1].astype(jnp.float32),
+        image[..., 2].astype(jnp.float32),
+        normalize,
+    )
 
 
 def subtract_mean(luma: jnp.ndarray):
@@ -74,31 +82,105 @@ def swap_luma(
     the original image through (swap_luma.cl:37-42).
     """
     h, w = original_rgb.shape[0], original_rgb.shape[1]
+    ro, go, bo, inside = _swap_luma_core(
+        original_rgb[..., 0].astype(jnp.float32),
+        original_rgb[..., 1].astype(jnp.float32),
+        original_rgb[..., 2].astype(jnp.float32),
+        new_luma, h, w,
+    )
+    combined = jnp.stack(
+        [b.astype(jnp.uint8) for b in (ro, go, bo)], axis=-1)
+    return jnp.where(inside[..., None], combined, original_rgb[..., :3])
+
+
+def _swap_luma_core(r, g, b, new_luma, h: int, w: int):
+    """Shared math of ``swap_luma``/``swap_luma_packed`` on f32 channel
+    planes: returns the three output byte planes (uint32 0..255, already
+    clamped and truncated) and the inside-window mask."""
     lh, lw = new_luma.shape[0], new_luma.shape[1]
     pad = (w - lw) // 2  # width-derived padding, per the reference
 
-    rgbf = original_rgb[..., :3].astype(jnp.float32)
     y_new = jnp.zeros((h, w), dtype=jnp.float32)
     y_new = lax.dynamic_update_slice(y_new, new_luma.astype(jnp.float32), (pad, pad))
     y_new = y_new * 255.0
 
-    cb = rgbf @ RGB2CB
-    cr = rgbf @ RGB2CR
-    ycc = jnp.stack([y_new, cb, cr], axis=-1)
-    r = ycc @ YCBCR2R
-    g = ycc @ YCBCR2G
-    b = ycc @ YCBCR2B
-    combined = jnp.stack([r, g, b], axis=-1)
-    combined = jnp.clip(combined, 0.0, 255.0)
-    # OpenCL convert_uint: round toward zero (truncate)
-    combined = jnp.trunc(combined).astype(jnp.uint8)
+    cb = r * RGB2CB[0] + g * RGB2CB[1] + b * RGB2CB[2]
+    cr = r * RGB2CR[0] + g * RGB2CR[1] + b * RGB2CR[2]
+    ro = y_new + cr * YCBCR2R[2]
+    go = y_new + cb * YCBCR2G[1] + cr * YCBCR2G[2]
+    bo = y_new + cb * YCBCR2B[1]
+
+    def _byte(v):
+        # clamp 0..255 then truncate (OpenCL convert_uint rounds toward 0)
+        return jnp.trunc(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint32)
 
     rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = (
-        (rows >= pad) & (rows < pad + lh) & (cols >= pad) & (cols < pad + lw)
-    )[..., None]
-    return jnp.where(inside, combined, original_rgb[..., :3])
+    inside = (rows >= pad) & (rows < pad + lh) & (cols >= pad) & (cols < pad + lw)
+    return _byte(ro), _byte(go), _byte(bo), inside
+
+
+def extract_luma_packed(rgba_u32: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+    """``extract_luma`` on byte-packed pixels: (H, W) uint32 (little-endian
+    RGBA — byte 0 = R) → float32 luma (H, W).
+
+    TPU rationale: a rank-3 (H, W, 4) uint8 array lane-pads its minor dim
+    4 → 128 on device (32x physical bytes and VPU lanes wasted); packing
+    each pixel into one uint32 keeps the image a dense 2D array, and the
+    channel extraction becomes shift/mask ops in fully-utilized lanes.
+    Same math as extract_luma (extract_luma.cl:5-21) — bit-identical
+    output, pinned by tests.
+    """
+    x = rgba_u32
+    r = (x & 0xFF).astype(jnp.float32)
+    g = ((x >> 8) & 0xFF).astype(jnp.float32)
+    b = ((x >> 16) & 0xFF).astype(jnp.float32)
+    luma = r * 0.299 + g * 0.587 + b * 0.114
+    if normalize:
+        luma = luma / 255.0
+    return luma
+
+
+def swap_luma_packed(rgba_u32: jnp.ndarray, new_luma: jnp.ndarray) -> jnp.ndarray:
+    """``swap_luma`` on byte-packed pixels: (H, W) uint32 in, (H, W)
+    uint32 out (RGB in bytes 0-2, byte 3 = the original alpha untouched;
+    hosts strip it with a free numpy view). Same matrices, clamp,
+    truncation, and border-passthrough semantics as ``swap_luma``
+    (swap_luma.cl:19-69) — bit-identical RGB bytes, pinned by tests."""
+    h, w = rgba_u32.shape
+    x = rgba_u32
+    ro, go, bo, inside = _swap_luma_core(
+        (x & 0xFF).astype(jnp.float32),
+        ((x >> 8) & 0xFF).astype(jnp.float32),
+        ((x >> 16) & 0xFF).astype(jnp.float32),
+        new_luma, h, w,
+    )
+    packed = ro | (go << 8) | (bo << 16) | (x & jnp.uint32(0xFF000000))
+    return jnp.where(inside, packed, x)
+
+
+def pack_rgba_host(image: "np.ndarray") -> "np.ndarray":
+    """Host-side (numpy) packer: uint8 (..., H, W, 3|4) → (..., H, W)
+    uint32 little-endian RGBA (alpha filled with 255 for 3-channel
+    input). A free view for contiguous RGBA input; one memcpy
+    otherwise."""
+    import numpy as np
+
+    if image.dtype != np.uint8 or image.ndim < 3 or image.shape[-1] not in (3, 4):
+        raise ValueError(f"expected uint8 (..., H, W, 3|4), got {image.dtype} {image.shape}")
+    if image.shape[-1] == 3:
+        image = np.concatenate(
+            [image, np.full(image.shape[:-1] + (1,), 255, np.uint8)], axis=-1)
+    image = np.ascontiguousarray(image)
+    return image.view(np.uint32)[..., 0]
+
+
+def unpack_rgb_host(packed: "np.ndarray") -> "np.ndarray":
+    """Host-side inverse for outputs: (H, W) uint32 → uint8 (H, W, 3)
+    (drops the alpha byte; a numpy view + slice)."""
+    import numpy as np
+
+    return packed.view(np.uint8).reshape(packed.shape + (4,))[..., :3]
 
 
 def swap_rgb(original_rgb: jnp.ndarray, new_rgb: jnp.ndarray) -> jnp.ndarray:

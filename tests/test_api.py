@@ -174,3 +174,28 @@ def test_upscale_rejects_tiny_images():
         upscale_image(cfg, params, tiny, bucket=64)
     with pytest.raises(ValueError, match="receptive field"):
         upscale_batch(cfg, params, tiny[None])
+
+
+def test_upscale_packed_io_bit_identical():
+    # the uint32 byte-packed color-end path must reproduce the rank-3
+    # path exactly (shared expression core in ops.color), including a
+    # zero_mean_target config (mean added back before the swap)
+    for zmt in (False, True):
+        cfg = parse_config({**CFG, "zero_mean_target": zmt})
+        params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=2)
+        rng = np.random.default_rng(7)
+        rgba = rng.integers(0, 256, (21, 26, 4), dtype=np.uint8)
+        ref = upscale_image(cfg, params, rgba)
+        got = upscale_image(cfg, params, rgba, packed_io=True)
+        np.testing.assert_array_equal(got, ref)
+        assert got.flags["C_CONTIGUOUS"]
+
+
+def test_upscale_batch_packed_io_bit_identical():
+    cfg = parse_config(CFG)
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=3)
+    rng = np.random.default_rng(8)
+    rgbas = rng.integers(0, 256, (2, 20, 24, 4), dtype=np.uint8)
+    ref = upscale_batch(cfg, params, rgbas)
+    got = upscale_batch(cfg, params, rgbas, packed_io=True)
+    np.testing.assert_array_equal(got, ref)

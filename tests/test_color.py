@@ -80,3 +80,44 @@ def test_swap_luma_identity_luma_reconstructs_image():
     # truncate), so allow a small per-channel tolerance
     diff = out.astype(np.int32) - img[..., :3].astype(np.int32)
     assert np.abs(diff).max() <= 3
+
+
+# ---- byte-packed (uint32) color path: must match the rank-3 ops exactly ----
+
+def test_extract_luma_packed_bit_identical():
+    from cnn_sr_tpu.ops.color import extract_luma_packed, pack_rgba_host
+
+    img = _color_grid(11, 7, seed=9)
+    packed = pack_rgba_host(img)
+    for norm in (True, False):
+        a = np.asarray(extract_luma(jnp.asarray(img), normalize=norm))
+        b = np.asarray(extract_luma_packed(jnp.asarray(packed), normalize=norm))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_swap_luma_packed_bit_identical():
+    from cnn_sr_tpu.ops.color import (
+        pack_rgba_host, swap_luma_packed, unpack_rgb_host)
+
+    img = _color_grid(9, 12, seed=10)
+    rng = np.random.default_rng(0)
+    new_luma = rng.random((5, 6)).astype(np.float32)
+    want = np.asarray(swap_luma(jnp.asarray(img), jnp.asarray(new_luma)))
+    got_u32 = np.asarray(
+        swap_luma_packed(jnp.asarray(pack_rgba_host(img)), jnp.asarray(new_luma)))
+    np.testing.assert_array_equal(unpack_rgb_host(got_u32), want)
+    # alpha byte passes through untouched everywhere
+    np.testing.assert_array_equal(
+        got_u32 >> 24, img[..., 3].astype(np.uint32))
+
+
+def test_pack_rgba_host_roundtrip_and_3ch():
+    from cnn_sr_tpu.ops.color import pack_rgba_host, unpack_rgb_host
+
+    img = _color_grid(4, 5, seed=11)
+    np.testing.assert_array_equal(
+        unpack_rgb_host(pack_rgba_host(img)), img[..., :3])
+    # 3-channel input gains alpha=255
+    p3 = pack_rgba_host(np.ascontiguousarray(img[..., :3]))
+    np.testing.assert_array_equal(unpack_rgb_host(p3), img[..., :3])
+    assert (np.asarray(p3) >> 24 == 255).all()

@@ -17,6 +17,10 @@ pipeline recompile per hypothesis:
   f32     — stack/transpose in f32, quantize after (4x bytes)
   stack8  — int8 stack WITHOUT the transpose (isolates stack vs
             transpose cost; output layout is unusable, timing only)
+  int8pad — shipped build PLUS the kernel wrapper's tail pad to the
+            grid-aligned spatial size and 128 lanes (what
+            `_fused_tail_single` actually feeds the window DMA) —
+            minus int8 isolates the tail pad's full-copy cost
 
 Usage: python tools/patchbuild_probe.py [--hw 1080x1920] [--f 9]
            [--c 1] [--dpack 5] [--iters 20] [--variants int8,bf16,...]
@@ -53,7 +57,7 @@ def main():
     ap.add_argument("--dpack", type=int, default=5,
                     help="dy-taps packed in lanes (0 = full f); flagship auto uses 5")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--variants", default="int8,bf16,f32,stack8")
+    ap.add_argument("--variants", default="int8,bf16,f32,stack8,int8pad")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
     f, c, dpack = args.f, args.c, args.dpack
@@ -88,9 +92,22 @@ def main():
         if mode == "stack8":
             return planes  # (C, oh, ow) int8 — no transpose (timing only)
         out = planes.transpose(1, 2, 0)
-        if mode != "int8":
+        if mode not in ("int8", "int8pad"):
             out = jnp.round(jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
                             * 127.0).astype(jnp.int8)
+        if mode == "int8pad":
+            # approximate _fused_tail_single's window geometry (64x256
+            # tiles, flagship shrink=8 tail, int8 sublane alignment;
+            # ignores the dy-pack row extension — cost probe only)
+            th, tw, shrink = 64, 256, 8
+            gh = -(-(out.shape[0] - shrink) // th)
+            gw = -(-(out.shape[1] - shrink) // tw)
+            win_h = th + shrink
+            win_w = -(-(tw + shrink) // 32) * 32
+            ph = max(0, (gh - 1) * th + win_h - out.shape[0])
+            pw = max(0, (gw - 1) * tw + win_w - out.shape[1])
+            out = jnp.pad(out, ((0, ph), (0, pw),
+                                (0, 128 - out.shape[2])))
         return out
 
     @functools.partial(jax.jit, static_argnames=("mode",))
@@ -116,7 +133,7 @@ def main():
     names = [v for v in args.variants.split(",") if v]
     ref = None
     for v in names:
-        if v == "stack8":
+        if v in ("stack8", "int8pad"):  # different output shapes
             continue
         got = np.asarray(build(small, v)).astype(np.int32)
         if ref is None:
