@@ -21,6 +21,12 @@ pipeline recompile per hypothesis:
             grid-aligned spatial size and 128 lanes (what
             `_fused_tail_single` actually feeds the window DMA) —
             minus int8 isolates the tail pad's full-copy cost
+  t2d     — int8 planes sliced at 128-aligned padded width, collapsed
+            to (C, oh·ow_pad) and moved with ONE 2D transpose, then
+            reshaped back — tests whether a single clean 2D relayout
+            beats the rank-3 minor-dim transpose (output width is
+            already tail-aligned; timing-comparable to int8, shape
+            differs)
 
 Usage: python tools/patchbuild_probe.py [--hw 1080x1920] [--f 9]
            [--c 1] [--dpack 5] [--iters 20] [--variants int8,bf16,...]
@@ -57,7 +63,7 @@ def main():
     ap.add_argument("--dpack", type=int, default=5,
                     help="dy-taps packed in lanes (0 = full f); flagship auto uses 5")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--variants", default="int8,bf16,f32,stack8,int8pad")
+    ap.add_argument("--variants", default="int8,bf16,f32,stack8,int8pad,t2d")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
     f, c, dpack = args.f, args.c, args.dpack
@@ -74,6 +80,25 @@ def main():
         ow = x.shape[1] - f + 1
         if row_pad:
             x = jnp.pad(x, ((0, row_pad), (0, 0), (0, 0)))
+        if mode == "t2d":
+            # slice planes at 128-aligned padded width so the
+            # (C, oh, ow_pad) -> (C, oh*ow_pad) collapse is free, then
+            # one 2D transpose does the whole minor-dim move
+            ow_pad = -(-ow // 128) * 128
+            x = jnp.pad(x, ((0, 0), (0, ow_pad + f - 1 - x.shape[1]), (0, 0)))
+            xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
+            planes = jnp.stack(
+                [
+                    xb[dy : dy + oh, dx : dx + ow_pad, ch]
+                    for dy in range(dcnt)
+                    for dx in range(f)
+                    for ch in range(c)
+                ],
+                axis=0,
+            )
+            cc = planes.shape[0]
+            flat = planes.reshape(cc, oh * ow_pad)
+            return flat.T.reshape(oh, ow_pad, cc)
         if mode in ("int8", "stack8"):
             xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
         elif mode == "bf16":
@@ -133,13 +158,17 @@ def main():
     names = [v for v in args.variants.split(",") if v]
     ref = None
     for v in names:
-        if v in ("stack8", "int8pad"):  # different output shapes
+        if v in ("stack8", "int8pad", "t2d"):  # different output shapes
             continue
         got = np.asarray(build(small, v)).astype(np.int32)
         if ref is None:
             ref = got
         else:
             np.testing.assert_allclose(got, ref, atol=1, err_msg=v)
+    if ref is not None and "t2d" in names:
+        got = np.asarray(build(small, "t2d")).astype(np.int32)
+        np.testing.assert_array_equal(
+            got[: ref.shape[0], : ref.shape[1], :], ref, err_msg="t2d")
 
     base = None
     for v in names:
