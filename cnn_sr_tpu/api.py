@@ -27,7 +27,9 @@ from .ops.color import (
     swap_luma,
     swap_luma_packed,
     swap_rgb,
+    swap_rgb_packed,
     unpack_rgb_host,
+    unpack_rgb_planes,
 )
 from .utils.config import Config
 
@@ -105,6 +107,29 @@ def _upscale_rgb_jit(params, rgba, use_pallas: bool = False,
     if add_mean:
         y = y + mean
     return swap_rgb(rgba, y)
+
+
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+def _upscale_rgb_packed_jit(params, rgba_u32, use_pallas: bool = False,
+                            add_mean: bool = False, pallas_f32: bool = False):
+    """Byte-packed twin of ``_upscale_rgb_jit``: (H, W) uint32 in/out.
+    The net still consumes a (H, W, 3) f32 array (that layout is the
+    conv input either way), but the uint8 image reads and the final
+    image write stay dense 2D."""
+    r, g, b = unpack_rgb_planes(rgba_u32)
+    rgb = jnp.stack([r, g, b], axis=-1) / 255.0
+    mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
+    if use_pallas:
+        from .ops.pallas_fused import fused_forward
+
+        dt = jnp.float32 if pallas_f32 else jnp.bfloat16
+        y = fused_forward(params, (rgb - mean)[None], dtype=dt,
+                          input_int8=not pallas_f32)[0]
+    else:
+        y = forward(params, (rgb - mean)[None])[0]
+    if add_mean:
+        y = y + mean
+    return swap_rgb_packed(rgba_u32, y)
 
 
 @partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
@@ -233,10 +258,10 @@ def upscale_image(
     <0.01 dB to bf16; deep stacks CAN compound the rounding
     (weight-dependent — PSNR-gate per checkpoint; docs/BENCHMARKS.md).
 
-    ``packed_io``: run the luma pipeline's color ends on uint32
-    byte-packed pixels (dense 2D on TPU instead of a 4→128 lane-padded
-    rank-3 image; bit-identical output). Luma models, unbucketed path
-    only; ignored otherwise.
+    ``packed_io``: run the pipeline's color ends on uint32 byte-packed
+    pixels (dense 2D on TPU instead of a 4→128 lane-padded rank-3
+    image; bit-identical output). Unbucketed path only; ignored with
+    ``bucket``.
     """
     pallas_f32 = pallas_precision == "f32"
     shrink = cfg.total_padding()
@@ -251,8 +276,10 @@ def upscale_image(
                                           bucket, use_pallas, pallas_f32)
         return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket,
                                      use_pallas, pallas_f32)
-    if cfg.channels == 1 and packed_io:
-        out_u32 = _upscale_luma_packed_jit(
+    if packed_io:
+        fn = (_upscale_luma_packed_jit if cfg.channels == 1
+              else _upscale_rgb_packed_jit)
+        out_u32 = fn(
             params_j, jnp.asarray(pack_rgba_host(np.asarray(rgba))),
             use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
             pallas_f32=pallas_f32)

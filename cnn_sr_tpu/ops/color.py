@@ -131,14 +131,8 @@ def extract_luma_packed(rgba_u32: jnp.ndarray, normalize: bool = True) -> jnp.nd
     Same math as extract_luma (extract_luma.cl:5-21) — bit-identical
     output, pinned by tests.
     """
-    x = rgba_u32
-    r = (x & 0xFF).astype(jnp.float32)
-    g = ((x >> 8) & 0xFF).astype(jnp.float32)
-    b = ((x >> 16) & 0xFF).astype(jnp.float32)
-    luma = r * 0.299 + g * 0.587 + b * 0.114
-    if normalize:
-        luma = luma / 255.0
-    return luma
+    r, g, b = unpack_rgb_planes(rgba_u32)
+    return _luma_from_planes(r, g, b, normalize)
 
 
 def swap_luma_packed(rgba_u32: jnp.ndarray, new_luma: jnp.ndarray) -> jnp.ndarray:
@@ -149,13 +143,43 @@ def swap_luma_packed(rgba_u32: jnp.ndarray, new_luma: jnp.ndarray) -> jnp.ndarra
     (swap_luma.cl:19-69) — bit-identical RGB bytes, pinned by tests."""
     h, w = rgba_u32.shape
     x = rgba_u32
-    ro, go, bo, inside = _swap_luma_core(
-        (x & 0xFF).astype(jnp.float32),
-        ((x >> 8) & 0xFF).astype(jnp.float32),
-        ((x >> 16) & 0xFF).astype(jnp.float32),
-        new_luma, h, w,
-    )
+    r, g, b = unpack_rgb_planes(x)
+    ro, go, bo, inside = _swap_luma_core(r, g, b, new_luma, h, w)
     packed = ro | (go << 8) | (bo << 16) | (x & jnp.uint32(0xFF000000))
+    return jnp.where(inside, packed, x)
+
+
+def unpack_rgb_planes(rgba_u32: jnp.ndarray):
+    """(.., H, W) uint32 packed pixels → three f32 channel planes
+    (R, G, B), 0..255. The device-side unpacker shared by the packed
+    color ops; kept separate so full-RGB model paths can build their
+    (H, W, 3) net input from dense 2D reads of the packed image."""
+    x = rgba_u32
+    return ((x & 0xFF).astype(jnp.float32),
+            ((x >> 8) & 0xFF).astype(jnp.float32),
+            ((x >> 16) & 0xFF).astype(jnp.float32))
+
+
+def swap_rgb_packed(rgba_u32: jnp.ndarray, new_rgb: jnp.ndarray) -> jnp.ndarray:
+    """``swap_rgb`` on byte-packed pixels: (H, W) uint32 in/out (RGB
+    replaced inside the centered window, byte 3 = original alpha
+    untouched). Same clamp/truncation/border semantics as ``swap_rgb``
+    — bit-identical RGB bytes, pinned by tests."""
+    h, w = rgba_u32.shape
+    lh, lw = new_rgb.shape[0], new_rgb.shape[1]
+    pad = (w - lw) // 2
+    x = rgba_u32
+
+    def _byte_plane(c):
+        v = jnp.trunc(jnp.clip(new_rgb[..., c] * 255.0, 0.0, 255.0)).astype(jnp.uint32)
+        full = jnp.zeros((h, w), jnp.uint32)
+        return lax.dynamic_update_slice(full, v, (pad, pad))
+
+    packed = (_byte_plane(0) | (_byte_plane(1) << 8) | (_byte_plane(2) << 16)
+              | (x & jnp.uint32(0xFF000000)))
+    rows = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (rows >= pad) & (rows < pad + lh) & (cols >= pad) & (cols < pad + lw)
     return jnp.where(inside, packed, x)
 
 
