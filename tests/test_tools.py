@@ -180,5 +180,5 @@ def test_patchbuild_probe_smoke(monkeypatch, capsys):
     )
     pb.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    assert len(lines) == 6
+    assert len(lines) == 7
     assert lines[0].startswith("int8")

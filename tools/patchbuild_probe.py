@@ -27,6 +27,11 @@ pipeline recompile per hypothesis:
             beats the rank-3 minor-dim transpose (output width is
             already tail-aligned; timing-comparable to int8, shape
             differs)
+  plane8  — quantize each input CHANNEL as a dense 2D plane first,
+            then stack shifted slices of the 2D int8 planes — avoids
+            any (H, W, 1) int8 temp (which lane-pads 1 → 128 if XLA
+            materializes it) and quantizes each pixel once instead of
+            once per shifted slice
 
 Usage: python tools/patchbuild_probe.py [--hw 1080x1920] [--f 9]
            [--c 1] [--dpack 5] [--iters 20] [--variants int8,bf16,...]
@@ -63,7 +68,7 @@ def main():
     ap.add_argument("--dpack", type=int, default=5,
                     help="dy-taps packed in lanes (0 = full f); flagship auto uses 5")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--variants", default="int8,bf16,f32,stack8,int8pad,t2d")
+    ap.add_argument("--variants", default="int8,bf16,f32,stack8,int8pad,t2d,plane8")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
     f, c, dpack = args.f, args.c, args.dpack
@@ -99,6 +104,21 @@ def main():
             cc = planes.shape[0]
             flat = planes.reshape(cc, oh * ow_pad)
             return flat.T.reshape(oh, ow_pad, cc)
+        if mode == "plane8":
+            chans = [
+                jnp.round(jnp.clip(x[:, :, ch], -1.0, 1.0) * 127.0).astype(jnp.int8)
+                for ch in range(c)
+            ]
+            planes = jnp.stack(
+                [
+                    chans[ch][dy : dy + oh, dx : dx + ow]
+                    for dy in range(dcnt)
+                    for dx in range(f)
+                    for ch in range(c)
+                ],
+                axis=0,
+            )
+            return planes.transpose(1, 2, 0)
         if mode in ("int8", "stack8"):
             xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
         elif mode == "bf16":
