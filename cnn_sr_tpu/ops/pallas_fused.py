@@ -516,14 +516,22 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
     row_pad = gcnt * dcnt - f
     if row_pad:
         x = jnp.pad(x, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
-    if int8:
-        xb = jnp.round(jnp.clip(x, -1.0, 1.0) * 127.0).astype(jnp.int8)
-    else:
-        xb = x.astype(dtype)
+    # convert each channel as a dense (N, H, W) plane FIRST (leading dims
+    # are untiled), not the rank-4 (N, H, W, k) array: a small-k
+    # converted temp lane-pads k -> 128 if XLA materializes it, and the
+    # per-plane form also converts each pixel once instead of once per
+    # shifted slice
     k = x.shape[3]
+    if int8:
+        chans = [
+            jnp.round(jnp.clip(x[..., c], -1.0, 1.0) * 127.0).astype(jnp.int8)
+            for c in range(k)
+        ]
+    else:
+        chans = [x[..., c].astype(dtype) for c in range(k)]
     planes = jnp.stack(
         [
-            xb[:, dy : dy + oh, dx : dx + ow, c]
+            chans[c][:, dy : dy + oh, dx : dx + ow]
             for dy in range(dcnt)
             for dx in range(f)
             for c in range(k)
