@@ -116,6 +116,17 @@ def build_parser() -> argparse.ArgumentParser:
         "on a 'data' mesh axis; XLA inserts the gradient all-reduce. "
         "The train and validation split sizes must divide by N",
     )
+    p.add_argument(
+        "--packed-io", dest="packed_io", action="store_true", default=None,
+        help="forward: run the color ends on uint32 byte-packed pixels "
+        "(dense 2D on TPU vs a 4->128 lane-padded rank-3 image; output "
+        "is bit-identical). Default follows the library; unbucketed "
+        "single-image path only",
+    )
+    p.add_argument(
+        "--no-packed-io", dest="packed_io", action="store_false",
+        help="force the rank-3 uint8 color ends",
+    )
     return p
 
 
@@ -141,8 +152,11 @@ def _forward_one(args, cfg, params, rgba):
             use_pallas=args.pallas, pallas_precision=args.pallas_precision)
     from .api import upscale_image
 
+    kw = {}
+    if getattr(args, "packed_io", None) is not None:
+        kw["packed_io"] = args.packed_io
     return upscale_image(cfg, params, rgba, args.pallas, args.bucket,
-                         args.pallas_precision)
+                         args.pallas_precision, **kw)
 
 
 def run_forward(args, cfg, profiler) -> int:

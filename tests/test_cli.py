@@ -160,3 +160,28 @@ def test_train_data_parallel_indivisible_split_errors(cfg_path, tmp_path):
     with pytest.raises(SystemExit):
         main(["train", "-c", cfg_path, "-i", samples, "-o",
               str(tmp_path / "p.json"), "-e", "1", "--data-parallel", "2"])
+
+
+def test_cli_packed_io_flag(tmp_path):
+    # --packed-io output must be identical to the default path
+    import numpy as np
+    from PIL import Image
+
+    from cnn_sr_tpu.cli import main
+
+    cfg_path = tmp_path / "cfg.json"
+    with open(cfg_path, "w") as fh:
+        json.dump(CFG, fh)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 30, 3), dtype=np.uint8)
+    Image.fromarray(img).save(str(tmp_path / "in.png"))
+
+    outs = {}
+    for flag in ("--packed-io", "--no-packed-io"):
+        out = tmp_path / f"out{flag}.png"
+        rc = main(["-c", str(cfg_path), "-i", str(tmp_path / "in.png"),
+                   "-o", str(out), "--seed", "3", flag])
+        assert rc == 0
+        with Image.open(str(out)) as im:
+            outs[flag] = np.asarray(im.convert("RGB"))
+    np.testing.assert_array_equal(outs["--packed-io"], outs["--no-packed-io"])
