@@ -129,11 +129,15 @@ def main():
             def body(carry, _):
                 out = pipeline(carry, use_pallas)
                 # thread one output pixel back into the input: a real data
-                # dependency so pipelined dispatch can't hide compute
+                # dependency so pipelined dispatch can't hide compute.
+                # MUST be a CENTER pixel — border pixels are passthrough
+                # in swap_luma (independent of the net), and XLA can
+                # dead-code-eliminate the entire conv stack through them
+                # (observed on the packed path: 3 ms/frame "results")
                 if packed:
-                    nxt = carry.at[0, 0].set(out[0, 0])
+                    nxt = carry.at[0, 0].set(out[h // 2, w // 2])
                 else:
-                    nxt = carry.at[0, 0, 0].set(out[0, 0, 0])
+                    nxt = carry.at[0, 0, 0].set(out[h // 2, w // 2, 0])
                 return nxt, ()
 
             final, _ = jax.lax.scan(body, img, None, length=iters)

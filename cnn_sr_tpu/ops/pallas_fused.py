@@ -81,16 +81,45 @@ _MM_CHUNK_ROWS = 32
 _DEBUG_SKIP: frozenset = frozenset()
 
 
+def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
+                 l1_gpack: int = 1, l1_dstep: int = 0):
+    """Bottom/right padding _fused_tail_single would apply to an (h, w)
+    input so its window DMA grid tiles cleanly. Exposed so callers can
+    build the patch array AT the padded geometry (cheap 2D pads before
+    the im2col stack + a leading-dim zero-plane pad) instead of paying
+    a full-array `jnp.pad` copy on the finished ~quarter-GB array —
+    measured 2.85 ms/frame of an 11.6 ms flagship frame (tools/
+    patchbuild_probe.py int8pad vs int8, 2026-08-17). MUST mirror the
+    geometry block at the top of ``_fused_tail_single``."""
+    fs = [d[0] for d in dims]
+    shrinks = [f - 1 for f in fs]
+    shrink = sum(shrinks)
+    l1_ext = (l1_gpack - 1) * l1_dstep if (fs and fs[0] == 1) else 0
+    grid_h = -(-(h - shrink - l1_ext) // tile_h)
+    grid_w = -(-(w_dim - shrink) // tile_w)
+    sub_align = {jnp.dtype(jnp.int8): 32,
+                 jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
+    win_h = tile_h + shrink + l1_ext
+    ws = [tile_w]
+    for s in reversed(shrinks):
+        ws.append(-(-(ws[-1] + s) // 8) * 8)
+    win_w = -(-ws[-1] // sub_align) * sub_align
+    pad_h = (grid_h - 1) * tile_h + win_h - h
+    pad_w = (grid_w - 1) * tile_w + win_w - w_dim
+    return max(0, pad_h), max(0, pad_w)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
-                     "chunk_rows", "pack_last", "l1_gpack", "l1_dstep"),
+                     "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
+                     "out_hw"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
                        chunk_rows: int = _MM_CHUNK_ROWS,
                        pack_last: int = 1, l1_gpack: int = 1,
-                       l1_dstep: int = 0):
+                       l1_dstep: int = 0, out_hw=None):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -127,7 +156,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     l1_ext = (l1_gpack - 1) * l1_dstep if (fs and fs[0] == 1) else 0
 
     h, w_dim, c_in = a.shape
-    out_h, out_w = h - shrink - l1_ext, w_dim - shrink
+    if out_hw is None:
+        out_h, out_w = h - shrink - l1_ext, w_dim - shrink
+    else:
+        # input pre-padded to the window geometry (``_window_pads``):
+        # the true output size can't be recovered from a.shape (the W
+        # pad includes the window's sublane-roundup overhang), so the
+        # caller passes it; the pad check below then reads zero pad.
+        out_h, out_w = out_hw
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
     # the input window streams in the array's own dtype: int8 patch
     # arrays (quantized folded-conv1 inputs) ride half the DMA bytes and
@@ -163,10 +199,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
     # the window streams in `win_dt` (3D refs allow dynamic indexing on
     # the untiled H dim even when packed; only 2D sublane indexing is
-    # barred)
-    ap = jnp.pad(
-        a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
-    ).astype(win_dt)
+    # barred). Callers that pre-build the array at the padded geometry
+    # (``_window_pads`` + ``_im2col_patches(pad_to=...)``) skip this
+    # full-array pad copy entirely.
+    if pad_h > 0 or pad_w > 0 or c_pad != c_in or a.dtype != win_dt:
+        ap = jnp.pad(
+            a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
+        ).astype(win_dt)
+    else:
+        ap = a
 
     hs = [win_h]
     for li, s in enumerate(shrinks):
@@ -482,7 +523,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
 
 
 def _im2col_patches(x, f: int, dtype, int8: bool = False,
-                    dpack: int = 0):
+                    dpack: int = 0, pad_to=None):
     """(N, H, W, k) → (N, H−f+1, W−f+1, f²·k) patches, channel index
     (dy·f + dx)·k + c — the same flattening as HWIO weights reshaped to
     (f²·k, n). Feeds the kernel's folded first layer (a 1x1 matmul).
@@ -508,14 +549,30 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
     array's HBM bytes, the transpose work, and the kernel's window DMA;
     the 1/127 scale folds into the folded first layer's weights. The
     quantization step (1/254 on unit scale) sits below the bf16 stream
-    path's own rounding envelope."""
+    path's own rounding envelope.
+
+    ``pad_to`` = (H_t, W_t, C_t) builds the array directly AT the fused
+    kernel's padded window geometry (``_window_pads``): the spatial pads
+    ride the input plane (fused into the shifted-slice reads), and the
+    channel pad appends zero planes on the UNTILED leading axis before
+    the transpose — no relayout, and the transpose's physical output is
+    identical (the minor dim was lane-padded to 128 either way). This
+    replaces the kernel wrapper's full-array pad copy. Kernel-side
+    values are unchanged: the padded lanes multiply zero weight rows,
+    and the padded rows/cols only feed outputs the caller crops."""
     dcnt = dpack if 0 < dpack < f else f
     gcnt = -(-f // dcnt)
     oh = x.shape[1] - f + 1 + (gcnt - 1) * dcnt
     ow = x.shape[2] - f + 1
     row_pad = gcnt * dcnt - f
-    if row_pad:
-        x = jnp.pad(x, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    c_target = 0
+    if pad_to is not None:
+        h_t, w_t, c_target = pad_to
+        row_pad += h_t - oh
+        oh, ow = h_t, w_t
+    col_pad = ow - (x.shape[2] - f + 1)
+    if row_pad or col_pad:
+        x = jnp.pad(x, ((0, 0), (0, row_pad), (0, col_pad), (0, 0)))
     # convert each channel as a dense (N, H, W) plane FIRST (leading dims
     # are untiled), not the rank-4 (N, H, W, k) array: a small-k
     # converted temp lane-pads k -> 128 if XLA materializes it, and the
@@ -538,6 +595,11 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
         ],
         axis=1,
     )  # (N, D·f·k, oh, ow) — 2D-tiled slices, no channel padding
+    if c_target > planes.shape[1]:
+        # zero planes on the untiled channel axis (appends memory, no
+        # relayout); their lanes hit zero weight rows in the kernel
+        planes = jnp.pad(
+            planes, ((0, 0), (0, c_target - planes.shape[1]), (0, 0), (0, 0)))
     return planes.transpose(0, 2, 3, 1)
 
 
@@ -672,16 +734,33 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
         wbs += _prepare_tail_weights(params[1:], dtype, pack_last)
-        a1 = _im2col_patches(x, f1, dtype, int8=use_int8, dpack=l1_dstep)
+        # build the patch array directly at the kernel's padded window
+        # geometry: kills the tail's full-array pad copy (~2.85 ms/frame
+        # measured on the flagship — see _window_pads)
+        win_dt = jnp.int8 if use_int8 else dtype
+        dcnt = l1_dstep if 0 < l1_dstep < f1 else f1
+        gcnt = -(-f1 // dcnt)
+        oh = x.shape[1] - f1 + 1 + (gcnt - 1) * dcnt
+        ow = x.shape[2] - f1 + 1
+        pad_h, pad_w = _window_pads(dims, oh, ow, tile_h, tile_w, win_dt,
+                                    dtype, l1_gpack, l1_dstep)
+        c_t = -(-(dcnt * f1 * c1) // 128) * 128
+        a1 = _im2col_patches(x, f1, dtype, int8=use_int8, dpack=l1_dstep,
+                             pad_to=(oh + pad_h, ow + pad_w, c_t))
+        # the padded array no longer encodes the true output size (the W
+        # pad carries the window's sublane-roundup overhang) — pass it
+        out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last)
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
+        out_hw = None
     outs = [
         _fused_tail_single(wbs, a1[i], dims, tile_h, tile_w,
                            interpret=interpret, dtype=dtype,
                            chunk_rows=chunk_rows, pack_last=pack_last,
-                           l1_gpack=l1_gpack, l1_dstep=l1_dstep)
+                           l1_gpack=l1_gpack, l1_dstep=l1_dstep,
+                           out_hw=out_hw)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)
