@@ -359,11 +359,19 @@ def upscale_batch(
             f"images {rgbas.shape[2]}x{rgbas.shape[1]} are not larger than "
             f"the model's receptive field ({shrink}+1 px per side)")
     params_j = jax.tree.map(jnp.asarray, params)
-    if cfg.channels == 1 and packed_io:
-        out_u32 = _upscale_luma_batch_packed_jit(
-            params_j, jnp.asarray(pack_rgba_host(np.asarray(rgbas))),
-            use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
-            pallas_f32=pallas_f32)
+    if packed_io:
+        packed = jnp.asarray(pack_rgba_host(np.asarray(rgbas)))
+        if cfg.channels == 1:
+            out_u32 = _upscale_luma_batch_packed_jit(
+                params_j, packed, use_pallas=use_pallas,
+                add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32)
+        else:
+            out_u32 = jnp.stack([
+                _upscale_rgb_packed_jit(
+                    params_j, img, use_pallas=use_pallas,
+                    add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32)
+                for img in packed
+            ])
         return np.ascontiguousarray(unpack_rgb_host(np.asarray(out_u32)))
     imgs = jnp.asarray(rgbas)
     if cfg.channels == 1:

@@ -218,3 +218,22 @@ def test_upscale_rgb_packed_io_bit_identical():
     ref = upscale_image(cfg, params, rgba)
     got = upscale_image(cfg, params, rgba, packed_io=True)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_upscale_batch_rgb_packed_io_bit_identical():
+    cfg = parse_config({
+        "channels": 3,
+        "layers": [{"n": 4, "f": 3}, {"n": 3, "f": 3}, {"n": 3, "f": 1}],
+        "momentum": 0.9, "weight_decay_parameter": 0.0,
+        "learning_rates": [1e-3, 1e-3, 1e-4],
+        "parameters_distribution": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.0,
+        },
+    })
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=5)
+    rng = np.random.default_rng(10)
+    rgbas = rng.integers(0, 256, (2, 18, 22, 4), dtype=np.uint8)
+    ref = upscale_batch(cfg, params, rgbas)
+    got = upscale_batch(cfg, params, rgbas, packed_io=True)
+    np.testing.assert_array_equal(got, ref)
