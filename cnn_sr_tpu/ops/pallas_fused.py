@@ -80,6 +80,14 @@ _MM_CHUNK_ROWS = 32
 # VPU last layer, "dma" = the window copies.
 _DEBUG_SKIP: frozenset = frozenset()
 
+# Trace-time observability for tests: True when the last TRACED
+# _fused_tail_single call had to pad/convert its input (the folded-conv1
+# path pre-builds at the padded geometry, so this must stay False there
+# — a geometry drift between _window_pads and the kernel would silently
+# reintroduce a quarter-GB pad copy per frame). Only updated when a
+# call actually traces (cache hits skip tracing).
+_LAST_TAIL_PADDED: bool = False
+
 
 def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
                  l1_gpack: int = 1, l1_dstep: int = 0):
@@ -202,7 +210,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # barred). Callers that pre-build the array at the padded geometry
     # (``_window_pads`` + ``_im2col_patches(pad_to=...)``) skip this
     # full-array pad copy entirely.
-    if pad_h > 0 or pad_w > 0 or c_pad != c_in or a.dtype != win_dt:
+    global _LAST_TAIL_PADDED
+    _LAST_TAIL_PADDED = (pad_h > 0 or pad_w > 0 or c_pad != c_in
+                         or a.dtype != win_dt)
+    if _LAST_TAIL_PADDED:
         ap = jnp.pad(
             a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
         ).astype(win_dt)

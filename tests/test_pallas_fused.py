@@ -231,3 +231,32 @@ def test_fused_deep_channel_last_layer_unpacked():
     y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_prepadded_build_skips_tail_pad():
+    """The folded-conv1 path must build the patch array AT the kernel's
+    padded window geometry — _window_pads drifting from the kernel's own
+    geometry block would silently reintroduce a quarter-GB pad copy per
+    frame. `_LAST_TAIL_PADDED` records the traced decision."""
+    from cnn_sr_tpu.ops import pallas_fused as pf
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # (specs, x shape, dtype kwargs) — flagship-like (dy-pack fires
+        # at f1=9), 9-1-5-like (f2=1 middle), RGB-like 3ch, f32 mode
+        ([(9, 1, 16), (5, 16, 8), (5, 8, 1)], (1, 70, 90, 1), {}),
+        ([(9, 1, 16), (1, 16, 8), (5, 8, 1)], (1, 66, 82, 1), {}),
+        ([(3, 3, 8), (3, 8, 8), (3, 8, 3)], (1, 40, 52, 3), {}),
+        ([(5, 1, 8), (3, 8, 8), (3, 8, 1)], (1, 44, 60, 1),
+         {"dtype": jnp.float32}),
+    ]
+    for specs, xshape, kw in cases:
+        params = _params(rng, specs)
+        x = jnp.asarray(rng.standard_normal(xshape).astype(np.float32))
+        y_ref = forward(params, x)
+        pf._fused_tail_single.clear_cache()  # force a trace
+        y = fused_forward(params, x, tile_h=16, tile_w=128, **kw)
+        assert not pf._LAST_TAIL_PADDED, (specs, kw)
+        tol = 0.05 if kw.get("dtype") is not jnp.float32 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=tol)
