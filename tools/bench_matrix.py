@@ -12,8 +12,12 @@ line each (plus a summary table):
 
 Methodology matches bench.py: dependency-chained ``lax.scan`` with a
 forced host readback (this setup pipelines dispatch and does not
-reliably block on small outputs). Run on the real chip; takes a few
-minutes of compiles on first run.
+reliably block on small outputs), timed at TWO scan lengths so the
+reported number is the MARGINAL per-iteration cost — each dispatch
+through the tunnel carries a fixed ~30 ms latency independent of scan
+length (measured 2026-08-17; see bench.py), and a single-point T/N
+reading would charge ~30/N ms of that latency to every frame/epoch.
+Run on the real chip; takes a few minutes of compiles on first run.
 
 ``--json PATH`` additionally writes the whole matrix as one JSON
 document (committed as BENCH_MATRIX.json at the repo root so the
@@ -36,23 +40,49 @@ _ROWS: list[dict] = []
 
 
 def _chained_image_bench(pipeline, img, iters=8):
+    """Marginal per-iteration cost via a two-length fit (see module doc)."""
+    import functools
+
     import jax
 
-    @jax.jit
-    def chained(c):
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained(c, length):
         def body(c, _):
             y = pipeline(c)
             return c.at[0, 0, 0].set(y[0, 0, 0]), ()
 
-        c, _ = jax.lax.scan(body, c, None, length=iters)
+        c, _ = jax.lax.scan(body, c, None, length=length)
         return c
 
-    r = chained(img)
-    _ = np.asarray(r[0, 0, 0])
-    t0 = time.perf_counter()
-    r = chained(img)
-    _ = np.asarray(r[0, 0, 0])
-    return (time.perf_counter() - t0) / iters
+    iters2 = 5 * iters
+
+    def timed(length):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained(img, length)[0, 0, 0])
+        return time.perf_counter() - t0
+
+    timed(iters), timed(iters2)  # compile both lengths
+    t1 = min(timed(iters), timed(iters))
+    t2 = min(timed(iters2), timed(iters2))
+    if t2 <= t1:  # tunnel noise inverted the fit; single-point fallback
+        return t2 / iters2
+    return (t2 - t1) / (iters2 - iters)
+
+
+def _train_marginal(run, e1=100, e2=400):
+    """Marginal s/epoch for a training closure ``run(epochs)`` (two-length
+    fit, same rationale as _chained_image_bench — at epochs_per_dispatch=25
+    a 100-epoch run pays the fixed dispatch latency 4 times)."""
+    def timed(e):
+        t0 = time.perf_counter()
+        run(e)
+        return time.perf_counter() - t0
+
+    t1 = min(timed(e1), timed(e1))
+    t2 = min(timed(e2), timed(e2))
+    if t2 <= t1:
+        return t2 / e2
+    return (t2 - t1) / (e2 - e1)
 
 
 def _emit(name, value, unit, extra=""):
@@ -139,10 +169,9 @@ def main():
     state = init_train_state(cfg, seed=0)
     train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, log=lambda *a: None)  # warmup
-    t0 = time.perf_counter()
-    train_loop(cfg, samples, state, epochs=100, validation_cadence=25,
-               epochs_per_dispatch=25, seed=1, log=lambda *a: None)
-    dt = (time.perf_counter() - t0) / 100
+    dt = _train_marginal(lambda e: train_loop(
+        cfg, samples, state, epochs=e, validation_cadence=25,
+        epochs_per_dispatch=25, seed=1, log=lambda *a: None))
     _emit("3_train_100_epochs_9-1-5", 1 / dt, "epochs/s",
           f"{dt * 1000:.1f} ms/epoch; reference: 236 ms/epoch (4.2 epochs/s)")
 
@@ -151,11 +180,10 @@ def main():
     train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, precision="bf16",
                log=lambda *a: None)  # warmup
-    t0 = time.perf_counter()
-    train_loop(cfg, samples, state, epochs=100, validation_cadence=25,
-               epochs_per_dispatch=25, seed=1, precision="bf16",
-               log=lambda *a: None)
-    dt = (time.perf_counter() - t0) / 100
+    dt = _train_marginal(lambda e: train_loop(
+        cfg, samples, state, epochs=e, validation_cadence=25,
+        epochs_per_dispatch=25, seed=1, precision="bf16",
+        log=lambda *a: None))
     _emit("3b_train_100_epochs_9-1-5_bf16", 1 / dt, "epochs/s",
           f"{dt * 1000:.1f} ms/epoch; --train-precision bf16 "
           "(mixed precision, f32 master weights)")
@@ -173,10 +201,9 @@ def main():
     state = init_train_state(cfg, seed=0)
     train_loop(cfg, samples4, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, log=lambda *a: None)
-    t0 = time.perf_counter()
-    train_loop(cfg, samples4, state, epochs=100, validation_cadence=25,
-               epochs_per_dispatch=25, seed=1, log=lambda *a: None)
-    dt = (time.perf_counter() - t0) / 100
+    dt = _train_marginal(lambda e: train_loop(
+        cfg, samples4, state, epochs=e, validation_cadence=25,
+        epochs_per_dispatch=25, seed=1, log=lambda *a: None))
     _emit("4_train_100_epochs_fused_input_pipeline", 1 / dt, "epochs/s",
           f"on-device degradation of the whole set took {prep_dt * 1000:.0f} ms")
 
@@ -207,20 +234,25 @@ def main():
     def batch_pipe(b):
         return _upscale_luma_batch_jit(params, b, use_pallas=True)
 
-    @jax.jit
-    def chained_b(b):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained_b(b, length):
         def body(c, _):
             y = batch_pipe(c)
             return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
-        c, _ = jax.lax.scan(body, b, None, length=8)
+        c, _ = jax.lax.scan(body, b, None, length=length)
         return c
 
-    r = chained_b(batch)
-    _ = np.asarray(r[0, 0, 0, 0])
-    t0 = time.perf_counter()
-    r = chained_b(batch)
-    _ = np.asarray(r[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / 8
+    def timed_b(length):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained_b(batch, length)[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    timed_b(8), timed_b(40)  # compile
+    t1 = min(timed_b(8), timed_b(8))
+    t2 = min(timed_b(40), timed_b(40))
+    dt = t2 / 40 if t2 <= t1 else (t2 - t1) / 32
     _emit("6_serving_batch8_540p", 8 * 540 * 960 / dt / 1e6, "MPix/s",
           "8-image fused dispatch (tools/serve.py queue geometry)")
 
