@@ -370,9 +370,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                             preferred_element_type=jnp.float32,
                         )
                         y = yg if y is None else y + yg
-                    store_act(li, c0, ce, jnp.maximum(
-                        y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
-                    ).astype(act_dt))
+                    if "l1_store" in _DEBUG_SKIP:  # triage-only gate
+                        act_refs[li][c0 : c0 + 1, 0:1, 0:1] = (
+                            jnp.max(y).reshape(1, 1, 1).astype(act_dt))
+                    else:
+                        store_act(li, c0, ce, jnp.maximum(
+                            y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
+                        ).astype(act_dt))
                 continue
 
             z_ref = z_refs[pz_idx[li]]
@@ -406,26 +410,37 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         ].astype(dtype)
                 operand = (src[zs:ze, 0:ow, 0 : f * k] if pre
                            else p_ref[0 : ze - zs])
-                z_ref[f - 1 : f - 1 + ze - zs] = jnp.dot(
-                    operand.reshape((ze - zs) * ow, f * k),
-                    w_ref[...],
-                    preferred_element_type=jnp.float32,
-                ).reshape(ze - zs, ow, f * n).astype(z_ref.dtype)
+                if "mid_dot" not in _DEBUG_SKIP:  # triage-only gate
+                    z_ref[f - 1 : f - 1 + ze - zs] = jnp.dot(
+                        operand.reshape((ze - zs) * ow, f * k),
+                        w_ref[...],
+                        preferred_element_type=jnp.float32,
+                    ).reshape(ze - zs, ow, f * n).astype(z_ref.dtype)
                 # out rows whose full f-row Z window is now resident
                 o0 = max(0, zs - (f - 1))
                 o1 = ze - (f - 1)
                 lo = o0 - zs + f - 1  # z_ref row of Z row o0
                 # Z is stored in the stream dtype (one rounding per phase
                 # partial; halves the layer's dominant VMEM traffic) and
-                # the f-phase combine accumulates in f32
+                # the f-phase combine accumulates in f32. (A full-width
+                # single band load with value-level phase slices measured
+                # FLAT vs these narrow ref slices on both model families,
+                # 2026-08-17 — Mosaic already coalesces the tile reads.)
+                if "mid_combine" in _DEBUG_SKIP:  # triage-only gate
+                    continue
                 val = z_ref[lo : lo + o1 - o0, :, 0:n].astype(jnp.float32)
                 for dy in range(1, f):
                     val = val + z_ref[
                         lo + dy : lo + dy + o1 - o0, :,
                         dy * n : (dy + 1) * n,
                     ].astype(jnp.float32)
-                store_act(li, o0, o1, jnp.maximum(
-                    val + b_ref[...], 0.0).astype(act_dt))
+                if "mid_store" in _DEBUG_SKIP:  # triage-only gate
+                    # keep the combine alive (a dead val would be DCE'd)
+                    act_refs[li][o0 : o0 + 1, 0:1, 0:1] = (
+                        jnp.max(val).reshape(1, 1, 1).astype(act_dt))
+                else:
+                    store_act(li, o0, o1, jnp.maximum(
+                        val + b_ref[...], 0.0).astype(act_dt))
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
