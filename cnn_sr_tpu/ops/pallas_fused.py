@@ -117,17 +117,45 @@ def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
     return max(0, pad_h), max(0, pad_w)
 
 
+def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
+    """Window geometry for the PLANE-input first layer (``l1_plane``):
+    the kernel consumes the raw (C, H, W) image plane and builds conv1's
+    operands in-register (lane rolls + one MXU identity-dot transpose
+    per 8-row × 128-col block), so there is no patch array at all — the
+    window is the plane itself plus the conv halo. Returns the padded
+    plane target (H_t, W_t) and the DMA window (win_hp, win_wp).
+    MUST mirror the plane-geometry block in ``_fused_tail_single``."""
+    fs = [d[0] for d in dims]
+    shrink = sum(f - 1 for f in fs)
+    grid_h = -(-out_h // tile_h)
+    grid_w = -(-out_w // tile_w)
+    sub = {jnp.dtype(jnp.int8): 32,
+           jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
+    # l1 emits hs[1] = tile_h + shrink rows; each 8-row group loads a
+    # fixed 16-row E slab (taps past f₁ hit zero H rows)
+    win_hp = -(-(tile_h + shrink + 8) // sub) * sub
+    ws = [tile_w]
+    for s in reversed([f - 1 for f in fs]):
+        ws.append(-(-(ws[-1] + s) // 8) * 8)
+    ws1 = ws[-1]  # l1 output width
+    nblk = -(-ws1 // 128)
+    win_wp = (nblk - 1) * 128 + 256
+    return ((grid_h - 1) * tile_h + win_hp,
+            (grid_w - 1) * tile_w + win_wp, win_hp, win_wp)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
-                     "out_hw"),
+                     "out_hw", "l1_plane", "l1_f"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
                        chunk_rows: int = _MM_CHUNK_ROWS,
                        pack_last: int = 1, l1_gpack: int = 1,
-                       l1_dstep: int = 0, out_hw=None):
+                       l1_dstep: int = 0, out_hw=None,
+                       l1_plane: int = 0, l1_f: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -163,20 +191,27 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # (row-only — dx taps are fully lane-packed, widths are untouched)
     l1_ext = (l1_gpack - 1) * l1_dstep if (fs and fs[0] == 1) else 0
 
-    h, w_dim, c_in = a.shape
-    if out_hw is None:
-        out_h, out_w = h - shrink - l1_ext, w_dim - shrink
+    plane = l1_plane > 0  # raw-plane first layer: a is (C, Hp, Wp)
+    if plane:
+        c_in = l1_plane
+        h, w_dim = a.shape[1], a.shape[2]
+        out_h, out_w = out_hw  # required: plane pads hide the true size
     else:
-        # input pre-padded to the window geometry (``_window_pads``):
-        # the true output size can't be recovered from a.shape (the W
-        # pad includes the window's sublane-roundup overhang), so the
-        # caller passes it; the pad check below then reads zero pad.
-        out_h, out_w = out_hw
+        h, w_dim, c_in = a.shape
+        if out_hw is None:
+            out_h, out_w = h - shrink - l1_ext, w_dim - shrink
+        else:
+            # input pre-padded to the window geometry (``_window_pads``):
+            # the true output size can't be recovered from a.shape (the W
+            # pad includes the window's sublane-roundup overhang), so the
+            # caller passes it; the pad check below then reads zero pad.
+            out_h, out_w = out_hw
     grid = (pl.cdiv(out_h, tile_h), pl.cdiv(out_w, tile_w))
     # the input window streams in the array's own dtype: int8 patch
-    # arrays (quantized folded-conv1 inputs) ride half the DMA bytes and
-    # cast to `dtype` at the matmul operand
-    win_dt = a.dtype if a.dtype == jnp.int8 else dtype
+    # arrays / planes (quantized folded-conv1 inputs) ride half the DMA
+    # bytes and cast to `dtype` at the matmul operand
+    win_dt = a.dtype if a.dtype == jnp.int8 else (
+        jnp.float32 if plane else dtype)
     # 3D (H, W, C) arrays tile the last two dims → the DMA window needs
     # W-dim (sublane) 8-alignment and a 128-multiple lane (channel) size;
     # H is untiled (any offset). Channel padding is physically free.
@@ -195,30 +230,56 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ws.append(-(-(ws[-1] + s) // 8) * 8)
     ws.reverse()
     win_w = -(-ws[0] // sub_align) * sub_align
-    # f=1 layers (pre-im2col'd first layers and SRCNN 9-1-5's middle)
-    # matmul the FULL source width so the operand is a free collapse of
-    # the source ref itself — propagate the full width downstream
-    ws[0] = win_w
-    for li in range(n_layers - 1):
-        if fs[li] == 1:
-            ws[li + 1] = ws[li]
-    c_pad = -(-c_in // 128) * 128
-    pad_h = (grid[0] - 1) * tile_h + win_h - h
-    pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
-    # the window streams in `win_dt` (3D refs allow dynamic indexing on
-    # the untiled H dim even when packed; only 2D sublane indexing is
-    # barred). Callers that pre-build the array at the padded geometry
-    # (``_window_pads`` + ``_im2col_patches(pad_to=...)``) skip this
-    # full-array pad copy entirely.
     global _LAST_TAIL_PADDED
-    _LAST_TAIL_PADDED = (pad_h > 0 or pad_w > 0 or c_pad != c_in
-                         or a.dtype != win_dt)
-    if _LAST_TAIL_PADDED:
-        ap = jnp.pad(
-            a, ((0, max(0, pad_h)), (0, max(0, pad_w)), (0, c_pad - c_in))
-        ).astype(win_dt)
+    if plane:
+        # plane-window geometry (mirror of ``_plane_pads``): each 8-row
+        # out group loads a fixed 16-row E slab, so the window carries
+        # hs[1] + 8 rows; columns carry 256 lanes past the last 128-col
+        # block of l1's output width
+        # f=1 MIDDLE layers (9-1-5) still matmul the full source width
+        for li in range(1, n_layers - 1):
+            if fs[li] == 1:
+                ws[li + 1] = ws[li]
+        nblk = -(-ws[1] // 128)
+        win_hp = -(-(tile_h + shrink + 8) // sub_align) * sub_align
+        win_wp = (nblk - 1) * 128 + 256
+        need_h = (grid[0] - 1) * tile_h + win_hp
+        need_w = (grid[1] - 1) * tile_w + win_wp
+        _LAST_TAIL_PADDED = (a.shape[1] < need_h or a.shape[2] < need_w
+                             or a.dtype != win_dt)
+        if _LAST_TAIL_PADDED:
+            ap = jnp.pad(a, ((0, 0),
+                             (0, max(0, need_h - a.shape[1])),
+                             (0, max(0, need_w - a.shape[2])))
+                         ).astype(win_dt)
+        else:
+            ap = a
+        c_pad = c_in  # no lane-channel padding: channels are planes
     else:
-        ap = a
+        # f=1 layers (pre-im2col'd first layers and SRCNN 9-1-5's middle)
+        # matmul the FULL source width so the operand is a free collapse
+        # of the source ref itself — propagate the full width downstream
+        ws[0] = win_w
+        for li in range(n_layers - 1):
+            if fs[li] == 1:
+                ws[li + 1] = ws[li]
+        c_pad = -(-c_in // 128) * 128
+        pad_h = (grid[0] - 1) * tile_h + win_h - h
+        pad_w = (grid[1] - 1) * tile_w + win_w - w_dim
+        # the window streams in `win_dt` (3D refs allow dynamic indexing
+        # on the untiled H dim even when packed; only 2D sublane indexing
+        # is barred). Callers that pre-build the array at the padded
+        # geometry (``_window_pads`` + ``_im2col_patches(pad_to=...)``)
+        # skip this full-array pad copy entirely.
+        _LAST_TAIL_PADDED = (pad_h > 0 or pad_w > 0 or c_pad != c_in
+                             or a.dtype != win_dt)
+        if _LAST_TAIL_PADDED:
+            ap = jnp.pad(
+                a, ((0, max(0, pad_h)), (0, max(0, pad_w)),
+                    (0, c_pad - c_in))
+            ).astype(win_dt)
+        else:
+            ap = a
 
     hs = [win_h]
     for li, s in enumerate(shrinks):
@@ -285,10 +346,16 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         def get_dma(slot, g2):
             i2 = g2 // n_j
             j2 = g2 % n_j
-            return pltpu.make_async_copy(
-                a_hbm.at[
+            if plane:
+                src_at = a_hbm.at[
+                    :, pl.ds(i2 * tile_h, win_hp), pl.ds(j2 * tile_w, win_wp)
+                ]
+            else:
+                src_at = a_hbm.at[
                     pl.ds(i2 * tile_h, win_h), pl.ds(j2 * tile_w, win_w), :
-                ],
+                ]
+            return pltpu.make_async_copy(
+                src_at,
                 a_vmem.at[slot],
                 sem.at[slot],
             )
@@ -344,6 +411,74 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
             act_dt = act_dts[li]
+
+            if plane and li == 0:
+                if "l1" in _DEBUG_SKIP:
+                    continue  # triage: leave act garbage
+                # ---- raw-plane first layer: in-register im2col ----
+                # Per 8-row × 128-col block: f₁·c lane-rolls of a 16-row
+                # E slab build F[(ch,dx,t), i] = E_ch[t, i+dx]; ONE MXU
+                # identity-dot transposes F to (i, K); ONE (128, K) @
+                # (K, 8·n) dot against H[(ch,dx,t),(r,n)] = w1[t−r,dx,ch]
+                # computes all 8 rows × n channels (taps with t−r outside
+                # [0, f₁) hit H's zero rows, so slab overreads are safe).
+                # This replaces the XLA patch-array build AND its 128-
+                # lane-padded window DMA outright (docs/BENCHMARKS.md).
+                f1 = l1_f
+                eye = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                       == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                       ).astype(dtype)
+                if li == n_layers - 2 and pack_last > 1:
+                    cnt, wtgt = pack_last, ws[li + 1]
+                elif li + 1 in prepack:
+                    cnt, wtgt = fs[li + 1], ws[li + 2]
+                else:
+                    cnt, wtgt = 1, ws[li + 1]
+                for r8 in range(0, oh, 8):
+                    rows = min(8, oh - r8)
+                    for wb in range(nblk):
+                        wc = wb * 128
+                        fparts = []
+                        for ci in range(c_in):
+                            ef = src[ci, r8 : r8 + 16, wc : wc + 256
+                                     ].astype(jnp.float32)
+                            for dx in range(f1):
+                                # lane rotates support 32-bit data only
+                                fparts.append(
+                                    pltpu.roll(ef, (256 - dx) % 256,
+                                               axis=1)[:, 0:128]
+                                    .astype(dtype))
+                        fmat = jnp.concatenate(fparts, axis=0)
+                        ft = jax.lax.dot_general(
+                            eye, fmat,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(dtype)
+                        yb = jax.lax.dot_general(
+                            ft, w_ref[...],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        yb = jnp.maximum(yb + b_ref[...], 0.0).astype(act_dt)
+                        if "l1_store" in _DEBUG_SKIP:  # triage-only gate
+                            act_refs[li][r8, 0:1, 0:1] = jnp.max(
+                                yb).reshape(1, 1, 1).astype(act_dt)[0]
+                            continue
+                        for r in range(rows):
+                            # slab (128 cols-in-sublanes, n-in-lanes)
+                            # matches the act ref's (W, C) tile layout
+                            slab = yb[:, r * n : (r + 1) * n]
+                            for c in range(cnt):
+                                x0, s0 = wc - c, 0
+                                if x0 < 0:
+                                    s0, x0 = -x0, 0
+                                x1 = min(x0 + 128 - s0, wtgt)
+                                if x1 <= x0:
+                                    continue
+                                act_refs[li][
+                                    r8 + r, x0:x1, c * n : (c + 1) * n
+                                ] = slab[s0 : s0 + (x1 - x0)]
+                continue
 
             if f == 1:
                 if "l1" in _DEBUG_SKIP:
@@ -491,7 +626,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
 
     scratch_shapes = [
-        pltpu.VMEM((2, win_h, win_w, c_pad), win_dt),  # double-buffered windows
+        # double-buffered windows: raw (C, H, W) planes in plane mode
+        # (kilobytes), lane-padded patch windows otherwise
+        pltpu.VMEM((2, c_in, win_hp, win_wp) if plane
+                   else (2, win_h, win_w, c_pad), win_dt),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     for li in range(n_layers - 1):  # middle-layer activations
@@ -663,9 +801,29 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1) -> List[jnp.ndarray
     return wbs
 
 
+def _plane_h_weights(w1, b1, dtype, int8: bool):
+    """First-layer weights for the plane-input kernel: H such that
+    ``Y[i, r·n+j] = Σ_{ch,dx,t} F[(ch,dx,t), i] · H[(ch,dx,t), r·n+j]``
+    computes ``y[r, i, j] = Σ_{dy,dx,ch} E[r+dy, i+dx, ch]·w1[dy,dx,ch,j]``
+    — row (ch·f+dx)·16 + t carries ``w1[t−r, dx, ch]`` for 0 ≤ t−r < f
+    and zeros elsewhere (slab rows past the taps multiply garbage plane
+    rows by zero). Requires f ≤ 9 (the fixed 16-row E slab). The int8
+    plane's 1/127 scale folds in here."""
+    f1, _, c1, n1 = w1.shape
+    wm = (w1 / 127.0 if int8 else w1).astype(jnp.float32)
+    slabs = [
+        jnp.pad(wm, ((r, 16 - f1 - r), (0, 0), (0, 0), (0, 0)))
+        .transpose(2, 1, 0, 3).reshape(c1 * f1 * 16, n1)
+        for r in range(8)
+    ]
+    return (jnp.concatenate(slabs, axis=1).astype(dtype),
+            jnp.tile(jnp.asarray(b1, jnp.float32), 8))
+
+
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16, chunk_rows: int = 0,
-                  input_int8: bool = False, l1_dstep: int = -1):
+                  input_int8: bool = False, l1_dstep: int = -1,
+                  plane_input: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     XLA builds the first layer's im2col patch array; ALL conv layers run
@@ -728,7 +886,38 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         for l in params[1:]
     )
     l1_gpack = 1
-    if kpack <= 256:
+    l1_plane = l1_f = 0
+    if plane_input is None:
+        # default ON for compiled TPU runs; interpret mode (CPU tests)
+        # keeps the patch path — the plane branch's per-block unrolling
+        # makes interpret walks ~4x slower at the default tile size.
+        # Dedicated small-tile tests pass plane_input=True explicitly.
+        plane_input = not interpret
+    if kpack <= 256 and f1 <= 9 and plane_input:
+        # raw-plane first layer: no patch array at all — the kernel DMAs
+        # the (C, H, W) image plane (kilobyte windows vs the ~300 MB
+        # lane-padded patch array) and builds conv1's matmul operands
+        # in-register via lane rolls + one MXU identity-dot transpose
+        # per 8-row × 128-col block (see the kernel's plane branch).
+        use_int8 = input_int8 and dtype != jnp.float32
+        win_dt = jnp.int8 if use_int8 else jnp.float32
+        h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8)
+        wbs = [h_w, b8] + _prepare_tail_weights(params[1:], dtype, pack_last)
+        dims = ((1, c1 * f1 * 16, n1),) + tail_dims
+        out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
+        need_h, need_w, _, _ = _plane_pads(
+            dims, out_hw[0], out_hw[1], tile_h, tile_w, win_dt)
+        if use_int8:
+            chans = [jnp.round(jnp.clip(x[..., c], -1.0, 1.0) * 127.0
+                               ).astype(jnp.int8) for c in range(c1)]
+        else:
+            chans = [x[..., c].astype(jnp.float32) for c in range(c1)]
+        a1 = jnp.pad(jnp.stack(chans, axis=1),
+                     ((0, 0), (0, 0),
+                      (0, need_h - x.shape[1]), (0, need_w - x.shape[2])))
+        l1_plane, l1_f = c1, f1
+        l1_dstep = 0
+    elif kpack <= 256:
         # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
         use_int8 = input_int8 and dtype != jnp.float32
         w1m = w1 / 127.0 if use_int8 else w1  # fold the int8 scale
@@ -786,7 +975,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            interpret=interpret, dtype=dtype,
                            chunk_rows=chunk_rows, pack_last=pack_last,
                            l1_gpack=l1_gpack, l1_dstep=l1_dstep,
-                           out_hw=out_hw)
+                           out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

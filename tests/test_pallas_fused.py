@@ -260,3 +260,46 @@ def test_prepadded_build_skips_tail_pad():
         tol = 0.05 if kw.get("dtype") is not jnp.float32 else 2e-5
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), atol=tol)
+
+
+@pytest.mark.parametrize("h,w", [(44, 150), (57, 131)])
+def test_fused_plane_input_matches_xla(h, w):
+    """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
+    identity-dot transpose — ops/pallas_fused.py plane branch): must
+    match the XLA path like the patch-array build it replaces. Small
+    tiles keep the interpret-mode trace tractable."""
+    rng = np.random.default_rng(7)
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
+    # int8 path precondition: inputs in [-1, 1] (mean-subtracted
+    # normalized luma always is; values outside clip)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=8, tile_w=128, dtype=jnp.float32,
+                      plane_input=True)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    # int8 plane quantization: 1/254 input step through the conv stack
+    yi = fused_forward(params, x, tile_h=8, tile_w=128, input_int8=True,
+                       plane_input=True)
+    assert float(jnp.abs(yi - y_ref).max()) < 0.06
+
+
+def test_fused_plane_input_rgb_and_915():
+    rng = np.random.default_rng(8)
+    # RGB first layer (c=3, f=3) + prepacked middle + RGB output
+    params = _params(rng, [(3, 3, 8), (3, 8, 8), (3, 8, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 40, 140, 3)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=8, tile_w=128, dtype=jnp.float32,
+                      plane_input=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    # 9-1-5 shape class: f=1 MIDDLE layer downstream of the plane conv
+    params = _params(rng, [(9, 1, 8), (1, 8, 8), (5, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 140, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=8, tile_w=128, dtype=jnp.float32,
+                      plane_input=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
