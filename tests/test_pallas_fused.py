@@ -303,3 +303,30 @@ def test_fused_plane_input_rgb_and_915():
                       plane_input=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_plane_build_skips_tail_pad():
+    """Plane-mode analog of test_prepadded_build_skips_tail_pad:
+    fused_forward must pre-pad the raw plane at exactly the kernel's
+    window geometry (`_plane_pads` drifting from the kernel's plane
+    block would silently add a per-frame pad copy)."""
+    from cnn_sr_tpu.ops import pallas_fused as pf
+
+    rng = np.random.default_rng(12)
+    cases = [
+        ([(9, 1, 16), (5, 16, 8), (5, 8, 1)], (1, 70, 90, 1), {}),
+        ([(9, 1, 16), (1, 16, 8), (5, 8, 1)], (1, 66, 82, 1), {}),
+        ([(3, 3, 8), (3, 8, 8), (3, 8, 3)], (1, 40, 52, 3),
+         {"dtype": jnp.float32}),
+    ]
+    for specs, xshape, kw in cases:
+        params = _params(rng, specs)
+        x = jnp.asarray(rng.uniform(-1, 1, xshape).astype(np.float32))
+        y_ref = forward(params, x)
+        pf._fused_tail_single.clear_cache()  # force a trace
+        y = fused_forward(params, x, tile_h=8, tile_w=128,
+                          plane_input=True, input_int8=True, **kw)
+        assert not pf._LAST_TAIL_PADDED, (specs, kw)
+        tol = 0.06 if kw.get("dtype") is not jnp.float32 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=tol)
