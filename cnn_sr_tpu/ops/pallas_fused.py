@@ -72,12 +72,17 @@ _MM_CHUNK_ROWS = 32
 # Perf-triage knob (tools/kernel_triage.py): stages named here are
 # SKIPPED OUTRIGHT (their outputs stay uninitialized VMEM garbage) so
 # their cost can be measured by subtraction. NEVER set in production.
-# Keys gate code paths, not model layers: "l1" = all f==1 layers (the
-# folded first layer; on 9-1-5 also its 1x1 middle layer), "mid"/"patch"
-# = f>1 middle layers / their patch build ("patch" is a no-op for
-# pre-packed consumers — shallow stacks — whose patch stores live in the
-# producer's store, gated by that producer's stage key), "last" = the
-# VPU last layer, "dma" = the window copies.
+# Keys gate code paths, not model layers: "l1" = all f==1 layers and
+# the plane first layer (on 9-1-5 also its 1x1 middle layer),
+# "mid"/"patch" = f>1 middle layers / their patch build ("patch" is a
+# no-op for pre-packed consumers — shallow stacks — whose patch stores
+# live in the producer's store, gated by that producer's stage key),
+# "last" = the VPU last layer, "dma" = the window copies. Finer keys
+# for sub-stage triage: "l1_store" keeps l1's dots but replaces its
+# (prepack) stores with a one-element max-store; "mid_dot" skips the
+# all-phase matmul (note: gated with `not in`, the dot is the default);
+# "mid_combine" skips phase combine AND output store; "mid_store" keeps
+# the combine but replaces the store with a one-element max-store.
 _DEBUG_SKIP: frozenset = frozenset()
 
 # Trace-time observability for tests: True when the last TRACED
@@ -137,7 +142,10 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     ws = [tile_w]
     for s in reversed([f - 1 for f in fs]):
         ws.append(-(-(ws[-1] + s) // 8) * 8)
-    ws1 = ws[-1]  # l1 output width
+    # kernel ws[1] (the l1 output width the kernel derives nblk from) is
+    # this un-reversed chain's second-to-last entry; the last entry is
+    # the kernel's ws[0] — equal only because plane dims[0] has f=1
+    ws1 = ws[-2] if len(ws) >= 2 else ws[-1]
     nblk = -(-ws1 // 128)
     win_wp = (nblk - 1) * 128 + 256
     return ((grid_h - 1) * tile_h + win_hp,
@@ -428,9 +436,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 eye = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
                        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
                        ).astype(dtype)
-                if li == n_layers - 2 and pack_last > 1:
-                    cnt, wtgt = pack_last, ws[li + 1]
-                elif li + 1 in prepack:
+                # store_act's consumer-packing selection, in slab form
+                # (li==0 can never be the pack_last producer: the fused
+                # path requires >= 3 layers)
+                if li + 1 in prepack:
                     cnt, wtgt = fs[li + 1], ws[li + 2]
                 else:
                     cnt, wtgt = 1, ws[li + 1]
@@ -686,6 +695,18 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
 
 
+def _quantize_planes(x, k: int):
+    """Per-channel int8 quantization of an (N, H, W, k) image: x·127,
+    clipped to ±1, round-to-nearest, each channel converted as a dense
+    2D plane (a small-k rank-4 temp would lane-pad k → 128 if XLA
+    materializes it). The ONE int8 contract shared by the plane and
+    patch-array paths — the 1/127 scale folds into the conv1 weights."""
+    return [
+        jnp.round(jnp.clip(x[..., c], -1.0, 1.0) * 127.0).astype(jnp.int8)
+        for c in range(k)
+    ]
+
+
 def _im2col_patches(x, f: int, dtype, int8: bool = False,
                     dpack: int = 0, pad_to=None):
     """(N, H, W, k) → (N, H−f+1, W−f+1, f²·k) patches, channel index
@@ -744,10 +765,7 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
     # shifted slice
     k = x.shape[3]
     if int8:
-        chans = [
-            jnp.round(jnp.clip(x[..., c], -1.0, 1.0) * 127.0).astype(jnp.int8)
-            for c in range(k)
-        ]
+        chans = _quantize_planes(x, k)
     else:
         chans = [x[..., c].astype(dtype) for c in range(k)]
     planes = jnp.stack(
@@ -826,19 +844,33 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   plane_input: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
-    XLA builds the first layer's im2col patch array; ALL conv layers run
-    in one Pallas kernel (the folded first layer is a 1x1 matmul whose
-    f²·k ≤ 128 lanes ride the window DMA's lane padding for free),
-    streamed in ``dtype`` (default bf16) with f32 accumulation. Falls
-    back to an XLA im2col first layer when f²·k > 256, and to the plain
-    XLA conv path for models outside the kernel's envelope (≤4 output
-    channels, ≥3 layers, few-channel first layer, 8-multiple middle
-    channels).
+    ALL conv layers run in one Pallas kernel, streamed in ``dtype``
+    (default bf16) with f32 accumulation. The first layer has three
+    forms, most- to least-preferred:
 
-    ``input_int8=True`` (bf16 stream path, folded first layer only)
-    stores the patch array as int8 — see ``_im2col_patches``. Callers
-    must guarantee inputs in [−1, 1] (mean-subtracted normalized
-    luma/RGB always are); values outside clip.
+    * **raw-plane** (``plane_input``, the compiled-TPU default for
+      f₁ ≤ 9): XLA only quantizes/pads the (C, H, W) image plane — no
+      patch array — and the kernel builds conv1's matmul operands
+      in-register (lane rolls + one MXU identity-dot transpose per
+      8-row × 128-col block; see the kernel's plane branch).
+      ``plane_input=None`` resolves to True on TPU and False in
+      interpret mode (the per-block unrolling makes interpret walks ~4x
+      slower); int8 planes additionally need a 32-multiple ``tile_h``
+      (sublane DMA alignment) and fall back to the patch form otherwise.
+    * **folded patch array** (f₁²·c ≤ 256): XLA builds the im2col patch
+      array (``_im2col_patches``) and the kernel runs conv1 as a 1x1
+      matmul whose lanes ride the window DMA's 128-lane padding.
+    * **XLA im2col first layer** (f₁²·c > 256), the kernel running
+      layers 2..L only.
+
+    Models outside the kernel's envelope (≤4 output channels, ≥3
+    layers, few-channel first layer, 8-multiple middle channels) fall
+    back to the plain XLA conv path.
+
+    ``input_int8=True`` (bf16 stream path) stores the plane / patch
+    array as int8 — see ``_quantize_planes``. Callers must guarantee
+    inputs in [−1, 1] (mean-subtracted normalized luma/RGB always are);
+    values outside clip.
     """
     from ..models import forward as _xla_forward
 
@@ -893,13 +925,18 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # makes interpret walks ~4x slower at the default tile size.
         # Dedicated small-tile tests pass plane_input=True explicitly.
         plane_input = not interpret
-    if kpack <= 256 and f1 <= 9 and plane_input:
+    use_int8 = input_int8 and dtype != jnp.float32
+    # raw-plane eligibility: f₁ ≤ 9 (the fixed 16-row E slab covers all
+    # dy taps) and, for int8 planes, a 32-multiple tile_h — the plane
+    # DMA's sublane (H) offset is i·tile_h and packed int8 tiles need
+    # 32-row alignment (the patch path's sublane offset was j·tile_w,
+    # always 128-aligned, so this constraint is new here)
+    if plane_input and f1 <= 9 and (not use_int8 or tile_h % 32 == 0):
         # raw-plane first layer: no patch array at all — the kernel DMAs
         # the (C, H, W) image plane (kilobyte windows vs the ~300 MB
         # lane-padded patch array) and builds conv1's matmul operands
         # in-register via lane rolls + one MXU identity-dot transpose
         # per 8-row × 128-col block (see the kernel's plane branch).
-        use_int8 = input_int8 and dtype != jnp.float32
         win_dt = jnp.int8 if use_int8 else jnp.float32
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8)
         wbs = [h_w, b8] + _prepare_tail_weights(params[1:], dtype, pack_last)
@@ -908,8 +945,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         need_h, need_w, _, _ = _plane_pads(
             dims, out_hw[0], out_hw[1], tile_h, tile_w, win_dt)
         if use_int8:
-            chans = [jnp.round(jnp.clip(x[..., c], -1.0, 1.0) * 127.0
-                               ).astype(jnp.int8) for c in range(c1)]
+            chans = _quantize_planes(x, c1)
         else:
             chans = [x[..., c].astype(jnp.float32) for c in range(c1)]
         a1 = jnp.pad(jnp.stack(chans, axis=1),
@@ -919,7 +955,6 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         l1_dstep = 0
     elif kpack <= 256:
         # fold layer 1 into the kernel as a pre-im2col'd 1x1 matmul
-        use_int8 = input_int8 and dtype != jnp.float32
         w1m = w1 / 127.0 if use_int8 else w1  # fold the int8 scale
         # dy-packed build: pack only D dy-taps (D·f₁·c planes instead
         # of f₁²·c in the shifted-slice stack) and let the kernel run
