@@ -83,6 +83,10 @@ _MM_CHUNK_ROWS = 32
 # all-phase matmul (note: gated with `not in`, the dot is the default);
 # "mid_combine" skips phase combine AND output store; "mid_store" keeps
 # the combine but replaces the store with a one-element max-store.
+# Per-layer keys "L{li}" (li = 0-based index into the KERNEL's layer
+# list, i.e. dims) skip exactly that layer — note skipping a pre-packed
+# consumer's producer also skips the consumer's patch stores (they live
+# in the producer's store), and "L{n_layers-1}" is spelled "last".
 _DEBUG_SKIP: frozenset = frozenset()
 
 # Trace-time observability for tests: True when the last TRACED
@@ -156,14 +160,15 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
-                     "out_hw", "l1_plane", "l1_f"),
+                     "out_hw", "l1_plane", "l1_f", "prepack_max_deep"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
                        chunk_rows: int = _MM_CHUNK_ROWS,
                        pack_last: int = 1, l1_gpack: int = 1,
                        l1_dstep: int = 0, out_hw=None,
-                       l1_plane: int = 0, l1_f: int = 0):
+                       l1_plane: int = 0, l1_f: int = 0,
+                       prepack_max_deep: int = 128):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -312,7 +317,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # net VMEM SAVE.
     prepack = frozenset(
         li for li in range(1, n_layers - 1)
-        if fs[li] > 1 and (n_layers <= 4 or fs[li] * ks[li] <= 128)
+        if fs[li] > 1
+        and (n_layers <= 4 or fs[li] * ks[li] <= prepack_max_deep)
     )
     # a first f=1 layer reads the whole lane-padded window: widen its
     # weight rows with zeros to match (pad lanes are zeros from `ap`).
@@ -414,6 +420,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # the matmul runs at f·n lanes wide (vs f dispatches n wide).
         ch = chunk_rows
         for li in range(n_layers - 1):
+            if f"L{li}" in _DEBUG_SKIP:
+                continue  # triage: per-layer subtraction (act garbage)
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
@@ -841,7 +849,8 @@ def _plane_h_weights(w1, b1, dtype, int8: bool):
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16, chunk_rows: int = 0,
                   input_int8: bool = False, l1_dstep: int = -1,
-                  plane_input: bool | None = None):
+                  plane_input: bool | None = None,
+                  prepack_max_deep: int = 128):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1010,7 +1019,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            interpret=interpret, dtype=dtype,
                            chunk_rows=chunk_rows, pack_last=pack_last,
                            l1_gpack=l1_gpack, l1_dstep=l1_dstep,
-                           out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f)
+                           out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f,
+                           prepack_max_deep=prepack_max_deep)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -12,7 +12,11 @@ NOTE: the skip keys gate CODE PATHS — on models with a 1x1 middle layer
 nothing; the stage labels below are accurate for the 9-5-5 model this
 tool benches.
 
-    python tools/kernel_triage.py [--iters 10]
+``--config rgb`` triages the 7-layer RGB model instead, adding one
+per-layer "-L{i}" mode per kernel tail layer (pallas_fused's ``L{li}``
+skip keys) so the deep stack's cost decomposes layer by layer.
+
+    python tools/kernel_triage.py [--iters 10] [--config flagship|rgb]
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Fused-kernel stage triage.")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--config", choices=("flagship", "rgb"),
+                   default="flagship")
     p.add_argument("--no-int8", action="store_true",
                    help="triage the bf16 patch array instead of the "
                         "production int8 default")
@@ -41,14 +47,25 @@ def main(argv=None) -> int:
 
     from __graft_entry__ import _flagship
     from cnn_sr_tpu.ops import pallas_fused
+    from cnn_sr_tpu.utils.config import parse_config
     from cnn_sr_tpu.utils.params_io import random_parameters
 
-    cfg = _flagship()
+    if args.config == "rgb":
+        import json
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "waifu2x_7layer_rgb.json")
+        with open(cfg_path) as fh:
+            cfg = parse_config(json.load(fh))
+        chans = 3
+    else:
+        cfg = _flagship()
+        chans = 1
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
-    x = jnp.asarray(
-        np.random.default_rng(0).random((1, 1080, 1920, 1), np.float32))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .random((1, 1080, 1920, chans), np.float32) - 0.5)
 
     def bench() -> float:
         @jax.jit
@@ -77,6 +94,11 @@ def main(argv=None) -> int:
         ("-all compute", frozenset({"l1", "mid", "last"})),
         ("-all + dma (XLA ends only)", frozenset({"l1", "mid", "last", "dma"})),
     ]
+    if args.config == "rgb":
+        # one mode per kernel tail layer (dims index; L0 is the raw-plane
+        # first layer already covered by "l1")
+        modes += [(f"-L{li} (tail layer {li})", frozenset({f"L{li}"}))
+                  for li in range(1, len(params) - 1)]
     try:
         for name, skip in modes:
             pallas_fused._DEBUG_SKIP = skip
