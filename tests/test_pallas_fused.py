@@ -330,3 +330,20 @@ def test_plane_build_skips_tail_pad():
         tol = 0.06 if kw.get("dtype") is not jnp.float32 else 2e-5
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), atol=tol)
+
+
+def test_fused_deep_prepack_threshold():
+    """Deep stacks (>4 layers) gate producer-side prepacking at
+    f·k ≤ prepack_max_deep; raising the threshold must not change the
+    result (same math, patch build replaced by producer stores). k=48
+    middles sit just past the shipped 128-lane gate (f·k=144)."""
+    rng = np.random.default_rng(13)
+    params = _params(
+        rng, [(3, 1, 8), (3, 8, 48), (3, 48, 48), (3, 48, 8), (3, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 140, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    for thr in (128, 144):
+        y = fused_forward(params, x, tile_h=16, tile_w=128,
+                          dtype=jnp.float32, prepack_max_deep=thr)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
