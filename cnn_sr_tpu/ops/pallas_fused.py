@@ -168,7 +168,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        pack_last: int = 1, l1_gpack: int = 1,
                        l1_dstep: int = 0, out_hw=None,
                        l1_plane: int = 0, l1_f: int = 0,
-                       prepack_max_deep: int = 128):
+                       prepack_max_deep: int = 384):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -312,9 +312,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # free collapse of the pre-packed ref itself — no per-chunk patch
     # build, no re-read of the activation. Costs (f−1)·k extra act
     # lanes per consumer — every consumer on shallow stacks; on deep
-    # (scoped-VMEM-bound) stacks only where f·k ≤ 128, where the lane
-    # pad already covers the copies and dropping the patch scratch is a
-    # net VMEM SAVE.
+    # (scoped-VMEM-bound) stacks up to f·k ≤ prepack_max_deep lanes.
+    # The shipped 384 covers the whole 7-layer RGB stack: measured
+    # 25.9 → 24.85 ms/frame over the old 128-lane gate (thr 128/192/384
+    # = 25.9/25.3/24.85, interleaved A/B ×3 rounds, 2026-08-18,
+    # tools/prepack_probe.py) — the raw-plane first layer freed the
+    # VMEM the wider act refs need. Models with f·k > 384 (no
+    # production config) keep the rolling patch build.
     prepack = frozenset(
         li for li in range(1, n_layers - 1)
         if fs[li] > 1
@@ -850,7 +854,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16, chunk_rows: int = 0,
                   input_int8: bool = False, l1_dstep: int = -1,
                   plane_input: bool | None = None,
-                  prepack_max_deep: int = 128):
+                  prepack_max_deep: int = 384):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
