@@ -160,7 +160,8 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
-                     "out_hw", "l1_plane", "l1_f", "prepack_max_deep"),
+                     "out_hw", "l1_plane", "l1_f", "prepack_max_deep",
+                     "mm_last"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -168,7 +169,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        pack_last: int = 1, l1_gpack: int = 1,
                        l1_dstep: int = 0, out_hw=None,
                        l1_plane: int = 0, l1_f: int = 0,
-                       prepack_max_deep: int = 384):
+                       prepack_max_deep: int = 384,
+                       mm_last: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -301,8 +303,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     n_out = ns[-1]
     # activations feeding MXU layers stream in `dtype` (their consumers
     # cast patches to `dtype` anyway — identical values, half the VMEM);
-    # the last layer's input stays f32 for the VPU tap accumulation
-    act_dts = [dtype if li + 1 < n_layers - 1 else jnp.float32
+    # the last layer's input stays f32 for the VPU tap accumulation —
+    # unless the last layer itself runs on the MXU (``mm_last``)
+    act_dts = [dtype if (mm_last or li + 1 < n_layers - 1)
+               else jnp.float32
                for li in range(n_layers - 1)]
     # Producer-side patch pre-packing (shallow stacks): an f>1 middle
     # layer's patch scratch is just f column-shifted copies of its
@@ -323,7 +327,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         li for li in range(1, n_layers - 1)
         if fs[li] > 1
         and (n_layers <= 4 or fs[li] * ks[li] <= prepack_max_deep)
-    )
+    ) | (frozenset({n_layers - 1}) if mm_last else frozenset())
+    # mm_last: the last layer runs through the all-phase MXU machinery
+    # (its producer MUST prepack — the wrapper guarantees eligibility);
+    # phase-combine + per-channel extraction happen in one masked lane
+    # reduction over the full-width Z window (see the kernel), so the
+    # historical "1-lane reads of a lane-padded Z" failure mode of
+    # conv3-as-matmul never appears (docs/BENCHMARKS.md).
     # a first f=1 layer reads the whole lane-padded window: widen its
     # weight rows with zeros to match (pad lanes are zeros from `ap`).
     # dy-packed (G>1): wbs[0] is G stacked (k_d, n) slabs — pad EACH
@@ -337,12 +347,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     elif fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
-    # z scratch for every f>1 middle layer; patch scratch only for the
-    # ones whose input is not producer-pre-packed
+    # z scratch for every f>1 MXU layer (incl. the last under mm_last);
+    # patch scratch only for the ones whose input is not pre-packed
+    n_mxu = n_layers if mm_last else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
-        li for li in range(n_layers - 1) if fs[li] > 1)}
+        li for li in range(n_mxu) if fs[li] > 1)}
     pp_idx = {li: i for i, li in enumerate(
-        li for li in range(n_layers - 1)
+        li for li in range(n_mxu)
         if fs[li] > 1 and li not in prepack)}
 
     def kernel(a_hbm, *refs):
@@ -423,14 +434,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # fused into the bias+ReLU. Patches feed the MXU once (vs f×) and
         # the matmul runs at f·n lanes wide (vs f dispatches n wide).
         ch = chunk_rows
-        for li in range(n_layers - 1):
-            if f"L{li}" in _DEBUG_SKIP:
+        for li in range(n_mxu):
+            if f"L{li}" in _DEBUG_SKIP or (
+                    li == n_layers - 1 and "last" in _DEBUG_SKIP):
                 continue  # triage: per-layer subtraction (act garbage)
             f, k, n = fs[li], ks[li], ns[li]
             oh, ow = hs[li + 1], ws[li + 1]
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
-            act_dt = act_dts[li]
+            act_dt = act_dts[li] if li < n_layers - 1 else jnp.float32
 
             if plane and li == 0:
                 if "l1" in _DEBUG_SKIP:
@@ -584,6 +596,29 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # 2026-08-17 — Mosaic already coalesces the tile reads.)
                 if "mid_combine" in _DEBUG_SKIP:  # triage-only gate
                     continue
+                if mm_last and li == n_layers - 1:
+                    # MXU last layer: the f·n-lane Z window holds phase
+                    # dy's channel j at lane dy·n+j. Masked adds align
+                    # the phases (full-width reads — no partial-lane
+                    # slicing), then ONE masked lane reduction per
+                    # output channel extracts channel j; bias is added
+                    # post-reduction. No ReLU (reference layer L is
+                    # linear — ConfigBasedDataPipeline.cpp:66).
+                    m = o1 - o0
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (m, ow, f * n), 2)
+                    accz = jnp.zeros((m, ow, f * n), jnp.float32)
+                    for dy in range(f):
+                        accz = accz + jnp.where(
+                            lane // n == dy,
+                            z_ref[lo + dy : lo + dy + m].astype(
+                                jnp.float32),
+                            0.0)
+                    for c in range(n):
+                        out_refs[c][o0:o1, :] = jnp.sum(
+                            jnp.where(lane % n == c, accz, 0.0),
+                            axis=-1) + b_ref[c]
+                    continue
                 val = z_ref[lo : lo + o1 - o0, :, 0:n].astype(jnp.float32)
                 for dy in range(1, f):
                     val = val + z_ref[
@@ -597,6 +632,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 else:
                     store_act(li, o0, o1, jnp.maximum(
                         val + b_ref[...], 0.0).astype(act_dt))
+
+        if mm_last:
+            return  # the last layer already ran through the MXU path
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -797,18 +835,26 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
     return planes.transpose(0, 2, 3, 1)
 
 
-def _prepare_tail_weights(params, dtype, pack_last: int = 1) -> List[jnp.ndarray]:
+def _prepare_tail_weights(params, dtype, pack_last: int = 1,
+                          mm_last: bool = False) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
     (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n);
     last → (f², n, k), or packed-dx (f·⌈f/P⌉, n, P·k) when
     ``pack_last`` = P > 1 (row dy·Q+q, lane c·k+j = w[dy, q·P+c, j, n],
-    zeros for taps past f). Weights in ``dtype``, biases f32."""
+    zeros for taps past f), or the middle-style all-phase (f·k, f·n)
+    when ``mm_last`` (the last layer runs on the MXU). Weights in
+    ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if li == n_layers - 1 and pack_last > 1:
+        if li == n_layers - 1 and mm_last:
+            wbs.append(
+                w.reshape(f, f * k, n).transpose(1, 0, 2)
+                .reshape(f * k, f * n).astype(dtype)
+            )
+        elif li == n_layers - 1 and pack_last > 1:
             q_cnt = -(-f // pack_last)
             wt = w.transpose(0, 1, 3, 2)  # (f, dx, n, k)
             wt = jnp.pad(wt, ((0, 0), (0, q_cnt * pack_last - f),
@@ -854,7 +900,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   dtype=jnp.bfloat16, chunk_rows: int = 0,
                   input_int8: bool = False, l1_dstep: int = -1,
                   plane_input: bool | None = None,
-                  prepack_max_deep: int = 384):
+                  prepack_max_deep: int = 384,
+                  mm_last: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -926,6 +973,20 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # (already-paid) 128-lane pad, P taps per last-layer FMA
     fL, kL = params[-1]["w"].shape[0], params[-1]["w"].shape[2]
     pack_last = max(1, min(fL, 128 // kL))
+    # MXU last layer: when no dx-pack fits (k > 64 → pack_last == 1)
+    # the unpacked VPU tap loop pays f²·n_out FMAs per band; routing the
+    # last layer through the all-phase matmul + masked-reduction combine
+    # is cheaper IF its producer can prepack the operand (f·k lanes).
+    # None = auto: on exactly in that regime.
+    if mm_last is None:
+        mm_last = fL > 1 and pack_last == 1
+    if mm_last and (
+        fL == 1  # nothing to phase-pack
+        or (len(params) > 4 and fL * kL > prepack_max_deep)  # can't prepack
+    ):
+        mm_last = False  # ineligible: keep the VPU path
+    if mm_last:
+        pack_last = 1
     tail_dims = tuple(
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
@@ -952,7 +1013,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # per 8-row × 128-col block (see the kernel's plane branch).
         win_dt = jnp.int8 if use_int8 else jnp.float32
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8)
-        wbs = [h_w, b8] + _prepare_tail_weights(params[1:], dtype, pack_last)
+        wbs = [h_w, b8] + _prepare_tail_weights(params[1:], dtype,
+                                                pack_last, mm_last)
         dims = ((1, c1 * f1 * 16, n1),) + tail_dims
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
         need_h, need_w, _, _ = _plane_pads(
@@ -996,7 +1058,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             l1_dstep = 0
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
-        wbs += _prepare_tail_weights(params[1:], dtype, pack_last)
+        wbs += _prepare_tail_weights(params[1:], dtype, pack_last, mm_last)
         # build the patch array directly at the kernel's padded window
         # geometry: kills the tail's full-array pad copy (~2.85 ms/frame
         # measured on the flagship — see _window_pads)
@@ -1015,7 +1077,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
-        wbs = _prepare_tail_weights(params[1:], dtype, pack_last)
+        wbs = _prepare_tail_weights(params[1:], dtype, pack_last, mm_last)
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
         out_hw = None
     outs = [
@@ -1024,7 +1086,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            chunk_rows=chunk_rows, pack_last=pack_last,
                            l1_gpack=l1_gpack, l1_dstep=l1_dstep,
                            out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f,
-                           prepack_max_deep=prepack_max_deep)
+                           prepack_max_deep=prepack_max_deep,
+                           mm_last=mm_last)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -207,30 +207,62 @@ def test_fused_dy_packed_rgb_deep():
 
 
 def test_fused_deep_channel_last_layer_unpacked():
-    """k>64 last layers: no dx-pack fits (pack_last degenerates to 1
-    with f>1), so the VPU tap loop runs unpacked — the 7-layer RGB
-    production shape class (k=128 ⇒ full 128-lane utilization anyway;
-    the MXU all-phase alternative measured 4% slower,
-    docs/BENCHMARKS.md). Covers RGB (n_out=3) and luma (n_out=1)."""
+    """k>64 last layers on the VPU path (mm_last=False): no dx-pack
+    fits (pack_last degenerates to 1 with f>1), so the tap loop runs
+    unpacked at full 128-lane utilization. Kept as the fallback path —
+    mm_last routes these shapes through the MXU by default. Covers RGB
+    (n_out=3) and luma (n_out=1)."""
     rng = np.random.default_rng(9)
-    # RGB deep stack: last layer k=72 > 64 → pack_last=1, f=3 → mm_last
+    # RGB deep stack: last layer k=72 > 64 → pack_last=1
     params = _params(rng, [(3, 3, 8), (3, 8, 72), (3, 72, 3)])
     x = jnp.asarray(rng.standard_normal((1, 60, 140, 3)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=48, tile_w=128, dtype=jnp.float32)
+    y = fused_forward(params, x, tile_h=48, tile_w=128, dtype=jnp.float32,
+                      mm_last=False)
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
     # bf16 streaming stays within the usual envelope
-    yb = fused_forward(params, x, tile_h=48, tile_w=128)
+    yb = fused_forward(params, x, tile_h=48, tile_w=128, mm_last=False)
     assert float(jnp.abs(yb - y_ref).max()) < 0.15
     # luma n_out=1, f=5 last layer with k=80
     params = _params(rng, [(9, 1, 8), (5, 8, 80), (5, 80, 1)])
     x = jnp.asarray(rng.standard_normal((1, 70, 150, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32)
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                      mm_last=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_mm_last_layer():
+    """MXU last layer (mm_last): the last layer runs through the
+    all-phase matmul with a producer-prepacked operand; phase-combine +
+    channel extraction happen in one masked lane reduction. Auto-on for
+    k>64/f>1 last layers; must match the VPU path exactly. Covers the
+    production 7-layer-RGB shape class (deep, n_out=3), a shallow
+    n_out=1 case, and chunk boundaries (tile_h > chunk_rows)."""
+    rng = np.random.default_rng(21)
+    cases = [
+        # deep RGB-like stack, k=72 last (prepack-eligible: f·k=216)
+        ([(3, 3, 8), (3, 8, 8), (3, 8, 16), (3, 16, 16), (3, 16, 72),
+          (3, 72, 3)], (1, 60, 140, 3), 48),
+        # shallow luma, k=80 f=5 last
+        ([(9, 1, 8), (5, 8, 80), (5, 80, 1)], (1, 70, 150, 1), 16),
+    ]
+    for specs, xshape, th in cases:
+        params = _params(rng, specs)
+        x = jnp.asarray(rng.standard_normal(xshape).astype(np.float32))
+        y_ref = forward(params, x)
+        y_vpu = fused_forward(params, x, tile_h=th, tile_w=128,
+                              dtype=jnp.float32, mm_last=False)
+        y_mm = fused_forward(params, x, tile_h=th, tile_w=128,
+                             dtype=jnp.float32, mm_last=True)
+        assert y_mm.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_vpu),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_prepadded_build_skips_tail_pad():
