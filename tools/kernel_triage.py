@@ -36,6 +36,8 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--config", choices=("flagship", "rgb"),
                    default="flagship")
+    p.add_argument("--fine", action="store_true",
+                   help="add sub-stage modes (dot/combine/store splits)")
     p.add_argument("--no-int8", action="store_true",
                    help="triage the bf16 patch array instead of the "
                         "production int8 default")
@@ -99,6 +101,14 @@ def main(argv=None) -> int:
         # first layer already covered by "l1")
         modes += [(f"-L{li} (tail layer {li})", frozenset({f"L{li}"}))
                   for li in range(1, len(params) - 1)]
+    if args.fine:
+        modes += [
+            ("-mid_dot (all-phase matmuls)", frozenset({"mid_dot"})),
+            ("-mid_combine (phase combine+store)",
+             frozenset({"mid_combine"})),
+            ("-mid_store (act/prepack stores)", frozenset({"mid_store"})),
+            ("-l1_store (l1 prepack stores)", frozenset({"l1_store"})),
+        ]
     try:
         for name, skip in modes:
             pallas_fused._DEBUG_SKIP = skip
