@@ -98,6 +98,32 @@ _DEBUG_SKIP: frozenset = frozenset()
 _LAST_TAIL_PADDED: bool = False
 
 
+def _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n):
+    """Middle layers that run as SEPARATED-PHASE dots (``sep_max_n``):
+    f row-shifted ``(rows·ow, f·k) @ (f·k, n)`` dots against per-dy
+    weight slabs, accumulated in f32 — no Z scratch, no phase combine.
+    Eligible: f==3 middle layers with a pre-packed input (mirror of the
+    kernel's prepack rule — the shifted operand rows must already be
+    patch rows) and n ≤ sep_max_n. The all-phase form pays a full-width
+    Z store plus f misaligned n-lane slice reads per row; at f=3 those
+    dominate the layer (sep_probe 2026-08-18, 7-layer RGB: monotone win
+    at EVERY n, 22.26 → 19.54 ms/frame at thr 128). MXU column passes
+    grow ⌈f·n/128⌉ → f·⌈n/128⌉ — at f=5 that penalty wins instead
+    (flagship 9-5-5 middle: 10.75 → 13.25 ms), hence the f==3 gate.
+    Shared by the kernel and ``fused_forward`` (weight prep) so the two
+    cannot drift."""
+    if sep_max_n <= 0:
+        return frozenset()
+    fs = [d[0] for d in dims]
+    ks = [d[1] for d in dims]
+    ns = [d[2] for d in dims]
+    return frozenset(
+        li for li in range(1, n_layers - 1)
+        if fs[li] == 3 and ns[li] <= sep_max_n
+        and (n_layers <= 4 or fs[li] * ks[li] <= prepack_max_deep)
+    )
+
+
 def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
                  l1_gpack: int = 1, l1_dstep: int = 0):
     """Bottom/right padding _fused_tail_single would apply to an (h, w)
@@ -161,7 +187,7 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "prepack_max_deep",
-                     "mm_last"),
+                     "mm_last", "sep_max_n"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -170,7 +196,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        l1_dstep: int = 0, out_hw=None,
                        l1_plane: int = 0, l1_f: int = 0,
                        prepack_max_deep: int = 384,
-                       mm_last: bool = False):
+                       mm_last: bool = False, sep_max_n: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -347,11 +373,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     elif fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
-    # z scratch for every f>1 MXU layer (incl. the last under mm_last);
-    # patch scratch only for the ones whose input is not pre-packed
+    # separated-phase layers (see _sep_layers): no Z scratch at all
+    sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n)
+    # z scratch for every f>1 MXU layer (incl. the last under mm_last,
+    # excl. separated-phase layers); patch scratch only for the ones
+    # whose input is not pre-packed
     n_mxu = n_layers if mm_last else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
-        li for li in range(n_mxu) if fs[li] > 1)}
+        li for li in range(n_mxu) if fs[li] > 1 and li not in sep)}
     pp_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
         if fs[li] > 1 and li not in prepack)}
@@ -494,8 +523,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         yb = jnp.maximum(yb + b_ref[...], 0.0).astype(act_dt)
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                            act_refs[li][r8, 0:1, 0:1] = jnp.max(
-                                yb).reshape(1, 1, 1).astype(act_dt)[0]
+                            act_refs[li][r8 : r8 + 1, 0:1, 0:1] = jnp.max(
+                                yb).reshape(1, 1, 1).astype(act_dt)
                             continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
@@ -545,6 +574,43 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
                         ).astype(act_dt))
+                continue
+
+            if li in sep:
+                # ---- separated-phase dots (small-n middle layers) ----
+                # out[i] = Σ_dy P[i+dy] @ w[dy]: f row-shifted dots
+                # against per-dy weight slabs (rows dy·f·k..(dy+1)·f·k
+                # of the (f²·k, n) weight), accumulated in f32 values —
+                # no Z scratch, no phase combine (see _sep_layers). The
+                # prepacked input ref holds patch rows 0..oh+f−2, so
+                # shifting the operand window by dy is a plain row
+                # offset; chunks are independent (no roll-over).
+                fk = f * k
+                for c0 in range(0, oh, ch):
+                    ce = min(c0 + ch, oh)
+                    m = ce - c0
+                    y = None
+                    if "mid_dot" not in _DEBUG_SKIP:
+                        for dy in range(f):
+                            yg = jnp.dot(
+                                src[c0 + dy : ce + dy, 0:ow, 0:fk]
+                                .reshape(m * ow, fk),
+                                w_ref[dy * fk : (dy + 1) * fk],
+                                preferred_element_type=jnp.float32,
+                            )
+                            y = yg if y is None else y + yg
+                    else:  # triage: store-side cost only
+                        y = jnp.zeros((m * ow, n), jnp.float32)
+                    yv = jnp.maximum(
+                        y.reshape(m, ow, n) + b_ref[...], 0.0
+                    ).astype(act_dt)
+                    if "mid_combine" in _DEBUG_SKIP:
+                        continue  # triage (sep has no combine: ≙ store)
+                    if "mid_store" in _DEBUG_SKIP:  # triage-only gate
+                        act_refs[li][c0 : c0 + 1, 0:1, 0:1] = jnp.max(
+                            yv).reshape(1, 1, 1).astype(act_dt)
+                    else:
+                        store_act(li, c0, ce, yv)
                 continue
 
             z_ref = z_refs[pz_idx[li]]
@@ -836,20 +902,27 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
 
 
 def _prepare_tail_weights(params, dtype, pack_last: int = 1,
-                          mm_last: bool = False) -> List[jnp.ndarray]:
+                          mm_last: bool = False,
+                          sep_prep: frozenset = frozenset(),
+                          ) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
-    (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n);
-    last → (f², n, k), or packed-dx (f·⌈f/P⌉, n, P·k) when
-    ``pack_last`` = P > 1 (row dy·Q+q, lane c·k+j = w[dy, q·P+c, j, n],
-    zeros for taps past f), or the middle-style all-phase (f·k, f·n)
-    when ``mm_last`` (the last layer runs on the MXU). Weights in
-    ``dtype``, biases f32."""
+    (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n),
+    or stacked per-dy slabs (f²·k, n) for separated-phase layers
+    (``sep_prep``, indices into THIS params list — see _sep_layers;
+    a plain reshape, rows (dy, dx, c) with c fastest matching the
+    prepacked patch lanes); last → (f², n, k), or packed-dx
+    (f·⌈f/P⌉, n, P·k) when ``pack_last`` = P > 1 (row dy·Q+q, lane
+    c·k+j = w[dy, q·P+c, j, n], zeros for taps past f), or the
+    middle-style all-phase (f·k, f·n) when ``mm_last`` (the last layer
+    runs on the MXU). Weights in ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if li == n_layers - 1 and mm_last:
+        if li in sep_prep and li != n_layers - 1:
+            wbs.append(w.reshape(f * f * k, n).astype(dtype))
+        elif li == n_layers - 1 and mm_last:
             wbs.append(
                 w.reshape(f, f * k, n).transpose(1, 0, 2)
                 .reshape(f * k, f * n).astype(dtype)
@@ -901,7 +974,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   input_int8: bool = False, l1_dstep: int = -1,
                   plane_input: bool | None = None,
                   prepack_max_deep: int = 384,
-                  mm_last: bool | None = None):
+                  mm_last: bool | None = None,
+                  sep_max_n: int | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -931,6 +1005,10 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     array as int8 — see ``_quantize_planes``. Callers must guarantee
     inputs in [−1, 1] (mean-subtracted normalized luma/RGB always are);
     values outside clip.
+
+    ``sep_max_n`` routes f==3 middle layers with n ≤ sep_max_n through
+    separated-phase per-dy dots instead of the all-phase Z + combine
+    (see ``_sep_layers``; None = auto = 128, 0 = off).
     """
     from ..models import forward as _xla_forward
 
@@ -991,6 +1069,21 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
     )
+    # separated-phase f==3 middle layers (see _sep_layers): None = auto
+    # = 128, i.e. every eligible layer — measured a monotone win on the
+    # 7-layer RGB stack and a no-op on f≠3 middles like the flagship's
+    # (tools/sep_probe.py 2026-08-18). Kernels with a folded/plane
+    # first layer index tail layer t as li = t+1, the XLA-conv1
+    # fallback as li = t. Layer 0's dims entry never affects the set
+    # (middle layers only), so one folded set serves both the plane and
+    # patch first-layer forms.
+    if sep_max_n is None:
+        sep_max_n = 128
+    sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
+                           len(params), prepack_max_deep, sep_max_n)
+    sep_prep_fold = frozenset(li - 1 for li in sep_fold)
+    sep_prep_tail = _sep_layers(tail_dims, len(params) - 1,
+                                prepack_max_deep, sep_max_n)
     l1_gpack = 1
     l1_plane = l1_f = 0
     if plane_input is None:
@@ -1013,8 +1106,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # per 8-row × 128-col block (see the kernel's plane branch).
         win_dt = jnp.int8 if use_int8 else jnp.float32
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8)
-        wbs = [h_w, b8] + _prepare_tail_weights(params[1:], dtype,
-                                                pack_last, mm_last)
+        wbs = [h_w, b8] + _prepare_tail_weights(
+            params[1:], dtype, pack_last, mm_last, sep_prep_fold)
         dims = ((1, c1 * f1 * 16, n1),) + tail_dims
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
         need_h, need_w, _, _ = _plane_pads(
@@ -1058,7 +1151,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             l1_dstep = 0
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
-        wbs += _prepare_tail_weights(params[1:], dtype, pack_last, mm_last)
+        wbs += _prepare_tail_weights(params[1:], dtype, pack_last,
+                                     mm_last, sep_prep_fold)
         # build the patch array directly at the kernel's padded window
         # geometry: kills the tail's full-array pad copy (~2.85 ms/frame
         # measured on the flagship — see _window_pads)
@@ -1077,7 +1171,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
-        wbs = _prepare_tail_weights(params[1:], dtype, pack_last, mm_last)
+        wbs = _prepare_tail_weights(params[1:], dtype, pack_last,
+                                    mm_last, sep_prep_tail)
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
         out_hw = None
     outs = [
@@ -1087,7 +1182,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            l1_gpack=l1_gpack, l1_dstep=l1_dstep,
                            out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f,
                            prepack_max_deep=prepack_max_deep,
-                           mm_last=mm_last)
+                           mm_last=mm_last, sep_max_n=sep_max_n)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -379,3 +379,47 @@ def test_fused_deep_prepack_threshold():
                           dtype=jnp.float32, prepack_max_deep=thr)
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sep_dots_layers():
+    """Separated-phase dots (sep_max_n): small-n middle layers run f
+    row-shifted per-dy-slab dots instead of the all-phase Z + combine —
+    same math, so results must match the XLA forward at every
+    threshold, on both a shallow 3-layer stack and a deep RGB-style
+    stack (mm_last last layer), with multi-chunk tiles."""
+    rng = np.random.default_rng(21)
+    # shallow: one 16->8 middle layer (sep at thr>=8)
+    p3 = _params(rng, [(3, 1, 16), (3, 16, 8), (3, 8, 1)])
+    x3 = jnp.asarray(rng.standard_normal((1, 40, 136, 1)).astype(np.float32))
+    y_ref3 = forward(p3, x3)
+    # deep: mixed-n middles so thresholds carve different sep sets
+    pd = _params(rng, [(3, 3, 8), (3, 8, 16), (3, 16, 16),
+                       (3, 16, 32), (3, 32, 3)])
+    xd = jnp.asarray(rng.standard_normal((1, 44, 140, 3)).astype(np.float32))
+    y_refd = forward(pd, xd)
+    for thr in (8, 16, 128):
+        y3 = fused_forward(p3, x3, tile_h=16, tile_w=128,
+                           dtype=jnp.float32, sep_max_n=thr)
+        np.testing.assert_allclose(
+            np.asarray(y3), np.asarray(y_ref3), rtol=1e-5, atol=1e-5)
+        yd = fused_forward(pd, xd, tile_h=16, tile_w=128,
+                           dtype=jnp.float32, sep_max_n=thr)
+        np.testing.assert_allclose(
+            np.asarray(yd), np.asarray(y_refd), rtol=1e-5, atol=1e-5)
+        yp = fused_forward(pd, xd, tile_h=16, tile_w=128,
+                           dtype=jnp.float32, sep_max_n=thr,
+                           plane_input=True)
+        np.testing.assert_allclose(
+            np.asarray(yp), np.asarray(y_refd), rtol=1e-5, atol=1e-5)
+    # auto default (sep_max_n=None → 128): every f==3 middle separated
+    ya = fused_forward(pd, xd, tile_h=16, tile_w=128, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(y_refd), rtol=1e-5, atol=1e-5)
+    # f≠3 middles are ineligible regardless of threshold: a 5x5-middle
+    # stack under the default must match too (all-phase path retained)
+    p5 = _params(rng, [(5, 1, 16), (5, 16, 8), (5, 8, 1)])
+    x5 = jnp.asarray(rng.standard_normal((1, 48, 144, 1)).astype(np.float32))
+    y5 = fused_forward(p5, x5, tile_h=16, tile_w=128, dtype=jnp.float32,
+                       sep_max_n=128)
+    np.testing.assert_allclose(
+        np.asarray(y5), np.asarray(forward(p5, x5)), rtol=1e-5, atol=1e-5)

@@ -78,9 +78,13 @@ def main(argv=None) -> int:
                 return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
             return lax.scan(body, a, None, length=args.iters)[0]
 
-        jax.block_until_ready(chained(x))
+        # host readback, not block_until_ready: the tunnel's async
+        # dispatch does not reliably block for device-resident results
+        # (measured 0.01 ms/frame phantom timings, 2026-08-18); reading
+        # one element back forces the whole dependency chain
+        _ = np.asarray(chained(x)[0, 0, 0, 0])
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x))
+        _ = np.asarray(chained(x)[0, 0, 0, 0])
         return (time.perf_counter() - t0) / args.iters * 1e3
 
     results = {}
