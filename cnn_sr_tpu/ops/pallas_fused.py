@@ -66,8 +66,12 @@ from ..models.fast_forward import _conv_first
 # Default row-chunk of the middle layers' rolling all-phase matmul:
 # bounds BOTH the per-dot operand/result stack transients and the
 # persistent Z/patch scratch (chunk_rows+f−1 resp. chunk_rows rows per
-# f>1 layer). Deep stacks (>4 layers) halve it to fit scoped VMEM.
+# f>1 layer). Deep stacks (>4 layers) run 24: the historical 16 was
+# set when every deep layer carried Z+patch scratch; after sep +
+# full prepack freed that VMEM, 24 measured best (tools/tile_probe.py
+# 64×256 chunk 16/24/32 = 24.0/22.85/23.3 ms, 2×-confirmed 2026-08-18).
 _MM_CHUNK_ROWS = 32
+_MM_CHUNK_ROWS_DEEP = 24
 
 # Perf-triage knob (tools/kernel_triage.py): stages named here are
 # SKIPPED OUTRIGHT (their outputs stay uninitialized VMEM garbage) so
@@ -152,11 +156,24 @@ def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
     return max(0, pad_h), max(0, pad_w)
 
 
-def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
+def _plane_rows(l1_rows: int, f1: int):
+    """(R, S) for the plane first layer: R output rows per transpose
+    block (`l1_rows`, clamped to what the slab supports) and S slab
+    rows. A block computing R rows reads taps t ∈ [r, r+f₁) for
+    r < R, so S = 8·⌈(R+f₁−1)/8⌉ and the largest legal 8-multiple R
+    for a given S is 8·⌊(S−f₁+1)/8⌋ (slab rows past the taps multiply
+    zero H rows). R=8/S=16 is the historical fixed geometry."""
+    r = max(8, l1_rows // 8 * 8)
+    s = -(-(r + f1 - 1) // 8) * 8
+    return 8 * ((s - f1 + 1) // 8), s
+
+
+def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
+                l1_f: int = 9, l1_rows: int = 8):
     """Window geometry for the PLANE-input first layer (``l1_plane``):
     the kernel consumes the raw (C, H, W) image plane and builds conv1's
     operands in-register (lane rolls + one MXU identity-dot transpose
-    per 8-row × 128-col block), so there is no patch array at all — the
+    per R-row × 128-col block), so there is no patch array at all — the
     window is the plane itself plus the conv halo. Returns the padded
     plane target (H_t, W_t) and the DMA window (win_hp, win_wp).
     MUST mirror the plane-geometry block in ``_fused_tail_single``."""
@@ -166,9 +183,14 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     grid_w = -(-out_w // tile_w)
     sub = {jnp.dtype(jnp.int8): 32,
            jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
-    # l1 emits hs[1] = tile_h + shrink rows; each 8-row group loads a
-    # fixed 16-row E slab (taps past f₁ hit zero H rows)
-    win_hp = -(-(tile_h + shrink + 8) // sub) * sub
+    # l1 emits oh = tile_h + shrink rows (the plane dims[0] entry has
+    # f=1; conv1's own shrink is absorbed by the window) in R-row
+    # groups; the LAST group (start R·(⌈oh/R⌉−1)) still loads a full
+    # S-row E slab, so the window carries R·⌈oh/R⌉ − R + S rows (taps
+    # past f₁ hit zero H rows; rows past the image read the bottom pad)
+    rr, ss = _plane_rows(l1_rows, l1_f)
+    oh = tile_h + shrink
+    win_hp = -(-(rr * (-(-oh // rr)) - rr + ss) // sub) * sub
     ws = [tile_w]
     for s in reversed([f - 1 for f in fs]):
         ws.append(-(-(ws[-1] + s) // 8) * 8)
@@ -186,8 +208,8 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt):
     jax.jit,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
-                     "out_hw", "l1_plane", "l1_f", "prepack_max_deep",
-                     "mm_last", "sep_max_n"),
+                     "out_hw", "l1_plane", "l1_f", "l1_rows",
+                     "prepack_max_deep", "mm_last", "sep_max_n"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -195,6 +217,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        pack_last: int = 1, l1_gpack: int = 1,
                        l1_dstep: int = 0, out_hw=None,
                        l1_plane: int = 0, l1_f: int = 0,
+                       l1_rows: int = 8,
                        prepack_max_deep: int = 384,
                        mm_last: bool = False, sep_max_n: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
@@ -273,16 +296,19 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     win_w = -(-ws[0] // sub_align) * sub_align
     global _LAST_TAIL_PADDED
     if plane:
-        # plane-window geometry (mirror of ``_plane_pads``): each 8-row
-        # out group loads a fixed 16-row E slab, so the window carries
-        # hs[1] + 8 rows; columns carry 256 lanes past the last 128-col
-        # block of l1's output width
+        # plane-window geometry (mirror of ``_plane_pads``): each R-row
+        # out group loads an S-row E slab — the last group (start
+        # R·(⌈oh/R⌉−1)) a full one — so the window carries
+        # R·⌈oh/R⌉ − R + S rows; columns carry 256 lanes past the last
+        # 128-col block of l1's output width
         # f=1 MIDDLE layers (9-1-5) still matmul the full source width
         for li in range(1, n_layers - 1):
             if fs[li] == 1:
                 ws[li + 1] = ws[li]
         nblk = -(-ws[1] // 128)
-        win_hp = -(-(tile_h + shrink + 8) // sub_align) * sub_align
+        l1_r, l1_s = _plane_rows(l1_rows, l1_f)
+        win_hp = -(-(l1_r * (-(-(tile_h + shrink) // l1_r)) - l1_r + l1_s)
+                   // sub_align) * sub_align
         win_wp = (nblk - 1) * 128 + 256
         need_h = (grid[0] - 1) * tile_h + win_hp
         need_w = (grid[1] - 1) * tile_w + win_wp
@@ -477,12 +503,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 if "l1" in _DEBUG_SKIP:
                     continue  # triage: leave act garbage
                 # ---- raw-plane first layer: in-register im2col ----
-                # Per 8-row × 128-col block: f₁·c lane-rolls of a 16-row
+                # Per R-row × 128-col block: f₁·c lane-rolls of an S-row
                 # E slab build F[(ch,dx,t), i] = E_ch[t, i+dx]; ONE MXU
                 # identity-dot transposes F to (i, K); ONE (128, K) @
-                # (K, 8·n) dot against H[(ch,dx,t),(r,n)] = w1[t−r,dx,ch]
-                # computes all 8 rows × n channels (taps with t−r outside
+                # (K, R·n) dot against H[(ch,dx,t),(r,n)] = w1[t−r,dx,ch]
+                # computes all R rows × n channels (taps with t−r outside
                 # [0, f₁) hit H's zero rows, so slab overreads are safe).
+                # R=16 (S=24 at f₁≤9) halves the transpose passes and
+                # cuts roll traffic 25% vs the original R=8/S=16.
                 # This replaces the XLA patch-array build AND its 128-
                 # lane-padded window DMA outright (docs/BENCHMARKS.md).
                 f1 = l1_f
@@ -496,13 +524,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     cnt, wtgt = fs[li + 1], ws[li + 2]
                 else:
                     cnt, wtgt = 1, ws[li + 1]
-                for r8 in range(0, oh, 8):
-                    rows = min(8, oh - r8)
+                for r8 in range(0, oh, l1_r):
+                    rows = min(l1_r, oh - r8)
                     for wb in range(nblk):
                         wc = wb * 128
                         fparts = []
                         for ci in range(c_in):
-                            ef = src[ci, r8 : r8 + 16, wc : wc + 256
+                            ef = src[ci, r8 : r8 + l1_s, wc : wc + 256
                                      ].astype(jnp.float32)
                             for dx in range(f1):
                                 # lane rotates support 32-bit data only
@@ -523,8 +551,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         yb = jnp.maximum(yb + b_ref[...], 0.0).astype(act_dt)
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                            act_refs[li][r8 : r8 + 1, 0:1, 0:1] = jnp.max(
-                                yb).reshape(1, 1, 1).astype(act_dt)
+                            # full-row store: (1,1,1) stores into packed
+                            # bf16 refs fail Mosaic lowering
+                            act_refs[li][r8 : r8 + 1] = jnp.full(
+                                (1,) + act_refs[li].shape[1:],
+                                jnp.max(yb), act_dt)
                             continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
@@ -568,8 +599,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         y = yg if y is None else y + yg
                     if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1, 0:1, 0:1] = (
-                            jnp.max(y).reshape(1, 1, 1).astype(act_dt))
+                        act_refs[li][c0 : c0 + 1] = jnp.full(
+                            (1,) + act_refs[li].shape[1:],
+                            jnp.max(y), act_dt)
                     else:
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
@@ -607,8 +639,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     if "mid_combine" in _DEBUG_SKIP:
                         continue  # triage (sep has no combine: ≙ store)
                     if "mid_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1, 0:1, 0:1] = jnp.max(
-                            yv).reshape(1, 1, 1).astype(act_dt)
+                        act_refs[li][c0 : c0 + 1] = jnp.full(
+                            (1,) + act_refs[li].shape[1:],
+                            jnp.max(yv), act_dt)
                     else:
                         store_act(li, c0, ce, yv)
                 continue
@@ -693,8 +726,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     ].astype(jnp.float32)
                 if "mid_store" in _DEBUG_SKIP:  # triage-only gate
                     # keep the combine alive (a dead val would be DCE'd)
-                    act_refs[li][o0 : o0 + 1, 0:1, 0:1] = (
-                        jnp.max(val).reshape(1, 1, 1).astype(act_dt))
+                    act_refs[li][o0 : o0 + 1] = jnp.full(
+                        (1,) + act_refs[li].shape[1:],
+                        jnp.max(val), act_dt)
                 else:
                     store_act(li, o0, o1, jnp.maximum(
                         val + b_ref[...], 0.0).astype(act_dt))
@@ -950,23 +984,24 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
     return wbs
 
 
-def _plane_h_weights(w1, b1, dtype, int8: bool):
+def _plane_h_weights(w1, b1, dtype, int8: bool, l1_rows: int = 8):
     """First-layer weights for the plane-input kernel: H such that
     ``Y[i, r·n+j] = Σ_{ch,dx,t} F[(ch,dx,t), i] · H[(ch,dx,t), r·n+j]``
     computes ``y[r, i, j] = Σ_{dy,dx,ch} E[r+dy, i+dx, ch]·w1[dy,dx,ch,j]``
-    — row (ch·f+dx)·16 + t carries ``w1[t−r, dx, ch]`` for 0 ≤ t−r < f
+    — row (ch·f+dx)·S + t carries ``w1[t−r, dx, ch]`` for 0 ≤ t−r < f
     and zeros elsewhere (slab rows past the taps multiply garbage plane
-    rows by zero). Requires f ≤ 9 (the fixed 16-row E slab). The int8
-    plane's 1/127 scale folds in here."""
+    rows by zero). R/S per ``_plane_rows`` (requires f ≤ 9 at R=8's
+    16-row slab). The int8 plane's 1/127 scale folds in here."""
     f1, _, c1, n1 = w1.shape
+    rr, ss = _plane_rows(l1_rows, f1)
     wm = (w1 / 127.0 if int8 else w1).astype(jnp.float32)
     slabs = [
-        jnp.pad(wm, ((r, 16 - f1 - r), (0, 0), (0, 0), (0, 0)))
-        .transpose(2, 1, 0, 3).reshape(c1 * f1 * 16, n1)
-        for r in range(8)
+        jnp.pad(wm, ((r, ss - f1 - r), (0, 0), (0, 0), (0, 0)))
+        .transpose(2, 1, 0, 3).reshape(c1 * f1 * ss, n1)
+        for r in range(rr)
     ]
     return (jnp.concatenate(slabs, axis=1).astype(dtype),
-            jnp.tile(jnp.asarray(b1, jnp.float32), 8))
+            jnp.tile(jnp.asarray(b1, jnp.float32), rr))
 
 
 def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
@@ -975,7 +1010,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   plane_input: bool | None = None,
                   prepack_max_deep: int = 384,
                   mm_last: bool | None = None,
-                  sep_max_n: int | None = None):
+                  sep_max_n: int | None = None,
+                  l1_rows: int = 16):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1009,6 +1045,13 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     ``sep_max_n`` routes f==3 middle layers with n ≤ sep_max_n through
     separated-phase per-dy dots instead of the all-phase Z + combine
     (see ``_sep_layers``; None = auto = 128, 0 = off).
+
+    ``l1_rows`` sets the plane first layer's block height R (output
+    rows per identity-dot transpose; see ``_plane_rows``). R=16 (S=24
+    slab at f₁ ≤ 9) halves transpose passes and cuts roll traffic 25%
+    at identical main-dot pass counts — measured a win on every
+    pairing: flagship 9.6-10.1 → 9.2-9.4 ms, RGB −0.1 ms (interleaved
+    A/B ×3, tools/l1rows_probe.py 2026-08-18).
     """
     from ..models import forward as _xla_forward
 
@@ -1024,7 +1067,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # 128-wide fits with room
         tile_w = 128 if (len(params) > 4 and dtype == jnp.float32) else 256
     if chunk_rows <= 0:
-        chunk_rows = _MM_CHUNK_ROWS if len(params) <= 4 else _MM_CHUNK_ROWS // 2
+        chunk_rows = (_MM_CHUNK_ROWS if len(params) <= 4
+                      else _MM_CHUNK_ROWS_DEEP)
     chunk_rows = max(8, chunk_rows // 8 * 8)
     tile_h = max(8, tile_h // 8 * 8)
     tile_w = max(128, tile_w // 128 * 128)  # out block lane dim: 128-multiple
@@ -1105,13 +1149,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # in-register via lane rolls + one MXU identity-dot transpose
         # per 8-row × 128-col block (see the kernel's plane branch).
         win_dt = jnp.int8 if use_int8 else jnp.float32
-        h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8)
+        h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8, l1_rows)
         wbs = [h_w, b8] + _prepare_tail_weights(
             params[1:], dtype, pack_last, mm_last, sep_prep_fold)
-        dims = ((1, c1 * f1 * 16, n1),) + tail_dims
+        l1_s = _plane_rows(l1_rows, f1)[1]
+        dims = ((1, c1 * f1 * l1_s, n1),) + tail_dims
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
         need_h, need_w, _, _ = _plane_pads(
-            dims, out_hw[0], out_hw[1], tile_h, tile_w, win_dt)
+            dims, out_hw[0], out_hw[1], tile_h, tile_w, win_dt,
+            f1, l1_rows)
         if use_int8:
             chans = _quantize_planes(x, c1)
         else:
@@ -1181,6 +1227,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            chunk_rows=chunk_rows, pack_last=pack_last,
                            l1_gpack=l1_gpack, l1_dstep=l1_dstep,
                            out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f,
+                           l1_rows=l1_rows,
                            prepack_max_deep=prepack_max_deep,
                            mm_last=mm_last, sep_max_n=sep_max_n)
         for i in range(x.shape[0])

@@ -295,11 +295,14 @@ def test_prepadded_build_skips_tail_pad():
 
 
 @pytest.mark.parametrize("h,w", [(44, 150), (57, 131)])
-def test_fused_plane_input_matches_xla(h, w):
+@pytest.mark.parametrize("l1_rows", [8, 16])
+def test_fused_plane_input_matches_xla(h, w, l1_rows):
     """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
     identity-dot transpose — ops/pallas_fused.py plane branch): must
-    match the XLA path like the patch-array build it replaces. Small
-    tiles keep the interpret-mode trace tractable."""
+    match the XLA path like the patch-array build it replaces, at both
+    block heights (R=16/S=24 is the compiled-TPU default; R=8/S=16 the
+    historical geometry). Small tiles keep the interpret-mode trace
+    tractable and exercise partial last R-row groups."""
     rng = np.random.default_rng(7)
     params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
     # int8 path precondition: inputs in [-1, 1] (mean-subtracted
@@ -307,13 +310,13 @@ def test_fused_plane_input_matches_xla(h, w):
     x = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 1)).astype(np.float32))
     y_ref = forward(params, x)
     y = fused_forward(params, x, tile_h=8, tile_w=128, dtype=jnp.float32,
-                      plane_input=True)
+                      plane_input=True, l1_rows=l1_rows)
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
     # int8 plane quantization: 1/254 input step through the conv stack
     yi = fused_forward(params, x, tile_h=8, tile_w=128, input_int8=True,
-                       plane_input=True)
+                       plane_input=True, l1_rows=l1_rows)
     assert float(jnp.abs(yi - y_ref).max()) < 0.06
 
 
