@@ -209,7 +209,8 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
     static_argnames=("dims", "tile_h", "tile_w", "interpret", "dtype",
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
-                     "prepack_max_deep", "mm_last", "sep_max_n"),
+                     "prepack_max_deep", "mm_last", "sep_max_n",
+                     "pipe_combine"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -219,7 +220,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        l1_plane: int = 0, l1_f: int = 0,
                        l1_rows: int = 8,
                        prepack_max_deep: int = 384,
-                       mm_last: bool = False, sep_max_n: int = 0):
+                       mm_last: bool = False, sep_max_n: int = 0,
+                       pipe_combine: bool = True):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -410,6 +412,17 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     pp_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
         if fs[li] > 1 and li not in prepack)}
+    # Software-pipelined combine (full-height Z, lagged one chunk): the
+    # rolling schedule's combine reads the SAME chunk's freshly-stored Z
+    # — a RAW hazard stalling the VPU on the MXU, and the next dot
+    # behind both. Eligible: shallow stacks (≤4 layers: at most one Z
+    # layer, full height fits easily) and the mm_last layer on deep
+    # stacks (its Z is f·n_out lanes — kilobyte rows). Deep non-sep
+    # middles (no production config) keep the rolling window.
+    pipe_z = frozenset(
+        li for li in pz_idx
+        if n_layers <= 4 or (mm_last and li == n_layers - 1)
+    ) if pipe_combine else frozenset()
 
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
@@ -650,23 +663,83 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             pre = li in prepack  # input ref already holds the patches
             p_ref = None if pre else p_refs[pp_idx[li]]
             ph = oh + f - 1
+            piped = li in pipe_z
             if "mid" in _DEBUG_SKIP:
                 continue  # triage
-            # Rolling-chunk schedule: Z never materializes at full height.
-            # Patch rows [zs, ze) are built into a ch-row scratch, ONE
-            # (len·ow, f·k) @ (f·k, f·n) dot lands them at z_ref rows
-            # [f−1, f−1+len), and the f−1 trailing Z rows of the previous
-            # chunk — rolled to rows [0, f−1) — complete the shifted-add
-            # window, so each chunk immediately emits its output rows.
-            # vs a full-height Z this cuts the scratch from (oh+f−1) to
-            # (ch+f−1) rows per layer with zero recompute (deep stacks
-            # were scoped-VMEM-bound: 7-layer RGB at 64×128 ran ~90 MB of
-            # per-layer Z+patch, and 64×256 blew the 100 MB budget).
-            # Chunked dots also keep per-dot operand/result transients
-            # small (a full-height dot's stack alone blew the budget).
+            # Two chunk schedules (see ``pipe_z``):
+            # * ROLLING: Z never materializes at full height. Patch rows
+            #   [zs, ze) are built into a ch-row scratch, ONE
+            #   (len·ow, f·k) @ (f·k, f·n) dot lands them at z_ref rows
+            #   [f−1, f−1+len), the f−1 trailing Z rows of the previous
+            #   chunk — rolled to rows [0, f−1) — complete the
+            #   shifted-add window, and the chunk immediately emits its
+            #   output rows. Cuts Z from (oh+f−1) to (ch+f−1) rows (deep
+            #   stacks were scoped-VMEM-bound) — but the combine reads
+            #   the SAME chunk's freshly-stored Z: a RAW hazard that
+            #   stalls the VPU on the MXU every chunk.
+            # * PIPELINED: full-height Z; chunk c's dot lands at rows
+            #   [zs, ze) and the combine emits only rows fully covered
+            #   by chunks < c — the VPU combine of the previous chunk
+            #   overlaps the current chunk's matmul.
+            # Chunked dots in both: per-dot operand/result transients
+            # stay small (a full-height dot's stack alone blew the
+            # scoped-VMEM budget).
+
+            def emit(o0, o1, zrow0, *, z_ref=z_ref, f=f, n=n, ow=ow,
+                     b_ref=b_ref, li=li, act_dt=act_dt):
+                # combine Z rows into output rows [o0, o1); ``zrow0`` =
+                # the z_ref row holding Z row o0. Z is stored in the
+                # stream dtype (one rounding per phase partial; halves
+                # the layer's dominant VMEM traffic) and the f-phase
+                # combine accumulates in f32. (A full-width single band
+                # load with value-level phase slices measured FLAT vs
+                # these narrow ref slices on both model families,
+                # 2026-08-17 — Mosaic already coalesces the tile reads.)
+                m = o1 - o0
+                if m <= 0 or "mid_combine" in _DEBUG_SKIP:
+                    return
+                if mm_last and li == n_layers - 1:
+                    # MXU last layer: the f·n-lane Z window holds phase
+                    # dy's channel j at lane dy·n+j. Masked adds align
+                    # the phases (full-width reads — no partial-lane
+                    # slicing), then ONE masked lane reduction per
+                    # output channel extracts channel j; bias is added
+                    # post-reduction. No ReLU (reference layer L is
+                    # linear — ConfigBasedDataPipeline.cpp:66).
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (m, ow, f * n), 2)
+                    accz = jnp.zeros((m, ow, f * n), jnp.float32)
+                    for dy in range(f):
+                        accz = accz + jnp.where(
+                            lane // n == dy,
+                            z_ref[zrow0 + dy : zrow0 + dy + m].astype(
+                                jnp.float32),
+                            0.0)
+                    for c in range(n):
+                        out_refs[c][o0:o1, :] = jnp.sum(
+                            jnp.where(lane % n == c, accz, 0.0),
+                            axis=-1) + b_ref[c]
+                    return
+                val = z_ref[zrow0 : zrow0 + m, :, 0:n].astype(jnp.float32)
+                for dy in range(1, f):
+                    val = val + z_ref[
+                        zrow0 + dy : zrow0 + dy + m, :,
+                        dy * n : (dy + 1) * n,
+                    ].astype(jnp.float32)
+                if "mid_store" in _DEBUG_SKIP:  # triage-only gate
+                    # keep the combine alive (a dead val would be DCE'd)
+                    act_refs[li][o0 : o0 + 1] = jnp.full(
+                        (1,) + act_refs[li].shape[1:],
+                        jnp.max(val), act_dt)
+                else:
+                    store_act(li, o0, o1, jnp.maximum(
+                        val + b_ref[...], 0.0).astype(act_dt))
+
+            done = 0
+            prev_ze = 0
             for zs in range(0, ph, ch):
                 ze = min(zs + ch, ph)
-                if zs > 0:
+                if not piped and zs > 0:
                     # previous chunk's Z rows [zs−(f−1), zs) sit at
                     # [ch, ch+f−1); roll them to the window head
                     z_ref[0 : f - 1] = z_ref[ch : ch + f - 1]
@@ -678,60 +751,25 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 operand = (src[zs:ze, 0:ow, 0 : f * k] if pre
                            else p_ref[0 : ze - zs])
                 if "mid_dot" not in _DEBUG_SKIP:  # triage-only gate
-                    z_ref[f - 1 : f - 1 + ze - zs] = jnp.dot(
+                    base = zs if piped else f - 1
+                    z_ref[base : base + ze - zs] = jnp.dot(
                         operand.reshape((ze - zs) * ow, f * k),
                         w_ref[...],
                         preferred_element_type=jnp.float32,
                     ).reshape(ze - zs, ow, f * n).astype(z_ref.dtype)
-                # out rows whose full f-row Z window is now resident
-                o0 = max(0, zs - (f - 1))
-                o1 = ze - (f - 1)
-                lo = o0 - zs + f - 1  # z_ref row of Z row o0
-                # Z is stored in the stream dtype (one rounding per phase
-                # partial; halves the layer's dominant VMEM traffic) and
-                # the f-phase combine accumulates in f32. (A full-width
-                # single band load with value-level phase slices measured
-                # FLAT vs these narrow ref slices on both model families,
-                # 2026-08-17 — Mosaic already coalesces the tile reads.)
-                if "mid_combine" in _DEBUG_SKIP:  # triage-only gate
-                    continue
-                if mm_last and li == n_layers - 1:
-                    # MXU last layer: the f·n-lane Z window holds phase
-                    # dy's channel j at lane dy·n+j. Masked adds align
-                    # the phases (full-width reads — no partial-lane
-                    # slicing), then ONE masked lane reduction per
-                    # output channel extracts channel j; bias is added
-                    # post-reduction. No ReLU (reference layer L is
-                    # linear — ConfigBasedDataPipeline.cpp:66).
-                    m = o1 - o0
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (m, ow, f * n), 2)
-                    accz = jnp.zeros((m, ow, f * n), jnp.float32)
-                    for dy in range(f):
-                        accz = accz + jnp.where(
-                            lane // n == dy,
-                            z_ref[lo + dy : lo + dy + m].astype(
-                                jnp.float32),
-                            0.0)
-                    for c in range(n):
-                        out_refs[c][o0:o1, :] = jnp.sum(
-                            jnp.where(lane % n == c, accz, 0.0),
-                            axis=-1) + b_ref[c]
-                    continue
-                val = z_ref[lo : lo + o1 - o0, :, 0:n].astype(jnp.float32)
-                for dy in range(1, f):
-                    val = val + z_ref[
-                        lo + dy : lo + dy + o1 - o0, :,
-                        dy * n : (dy + 1) * n,
-                    ].astype(jnp.float32)
-                if "mid_store" in _DEBUG_SKIP:  # triage-only gate
-                    # keep the combine alive (a dead val would be DCE'd)
-                    act_refs[li][o0 : o0 + 1] = jnp.full(
-                        (1,) + act_refs[li].shape[1:],
-                        jnp.max(val), act_dt)
+                if piped:
+                    # lagged: rows whose Z window lies in chunks < this
+                    o1p = min(oh, prev_ze - (f - 1))
+                    emit(done, o1p, done)
+                    done = max(done, o1p)
+                    prev_ze = ze
                 else:
-                    store_act(li, o0, o1, jnp.maximum(
-                        val + b_ref[...], 0.0).astype(act_dt))
+                    # out rows whose full f-row Z window is now resident
+                    o0 = max(0, zs - (f - 1))
+                    o1 = ze - (f - 1)
+                    emit(o0, o1, o0 - zs + f - 1)
+            if piped:
+                emit(done, oh, done)  # drain after the last dot
 
         if mm_last:
             return  # the last layer already ran through the MXU path
@@ -804,14 +842,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
             shape = (hs[li + 1], ws[li + 1], lanes)
         scratch_shapes.append(pltpu.VMEM(shape, act_dts[li]))
-    # rolling-chunk Z / patch scratch, f>1 layers only: (ch+f−1) resp. ch
-    # rows regardless of tile height (see the kernel's chunk schedule)
+    # Z / patch scratch, f>1 layers only: pipelined layers carry a
+    # full-height Z (oh+f−1 rows — lagged combine reads chunks behind
+    # the dot), rolling layers (ch+f−1) rows (see the chunk schedules)
     for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
+        rows = (hs[li + 1] + fs[li] - 1 if li in pipe_z
+                else chunk_rows + fs[li] - 1)
         scratch_shapes.append(
-            pltpu.VMEM(
-                (chunk_rows + fs[li] - 1, ws[li + 1], fs[li] * ns[li]),
-                dtype,
-            )
+            pltpu.VMEM((rows, ws[li + 1], fs[li] * ns[li]), dtype)
         )
     for li in pp_idx:  # patch chunk buffers (non-pre-packed consumers)
         scratch_shapes.append(
@@ -1011,7 +1049,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   prepack_max_deep: int = 384,
                   mm_last: bool | None = None,
                   sep_max_n: int | None = None,
-                  l1_rows: int = 16):
+                  l1_rows: int = 16,
+                  pipe_combine: bool = True):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1229,7 +1268,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            out_hw=out_hw, l1_plane=l1_plane, l1_f=l1_f,
                            l1_rows=l1_rows,
                            prepack_max_deep=prepack_max_deep,
-                           mm_last=mm_last, sep_max_n=sep_max_n)
+                           mm_last=mm_last, sep_max_n=sep_max_n,
+                           pipe_combine=pipe_combine)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)
