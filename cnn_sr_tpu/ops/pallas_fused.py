@@ -168,6 +168,17 @@ def _plane_rows(l1_rows: int, f1: int):
     return 8 * ((s - f1 + 1) // 8), s
 
 
+def _plane_win_hp(oh, l1_f: int, l1_rows: int, sub: int):
+    """Plane-window row count: l1 emits ``oh`` rows in R-row groups and
+    the LAST group (start R·(⌈oh/R⌉−1)) still loads a full S-row E slab,
+    so the window carries R·⌈oh/R⌉ − R + S rows, rounded up to the
+    window dtype's sublane alignment. ONE definition shared by
+    ``_plane_pads`` and the kernel geometry — these must never drift
+    (a mismatch silently reintroduces a per-frame pad copy)."""
+    rr, ss = _plane_rows(l1_rows, l1_f)
+    return -(-(rr * (-(-oh // rr)) - rr + ss) // sub) * sub
+
+
 def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
                 l1_f: int = 9, l1_rows: int = 8):
     """Window geometry for the PLANE-input first layer (``l1_plane``):
@@ -184,13 +195,9 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
     sub = {jnp.dtype(jnp.int8): 32,
            jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(win_dt), 8)
     # l1 emits oh = tile_h + shrink rows (the plane dims[0] entry has
-    # f=1; conv1's own shrink is absorbed by the window) in R-row
-    # groups; the LAST group (start R·(⌈oh/R⌉−1)) still loads a full
-    # S-row E slab, so the window carries R·⌈oh/R⌉ − R + S rows (taps
-    # past f₁ hit zero H rows; rows past the image read the bottom pad)
-    rr, ss = _plane_rows(l1_rows, l1_f)
-    oh = tile_h + shrink
-    win_hp = -(-(rr * (-(-oh // rr)) - rr + ss) // sub) * sub
+    # f=1; conv1's own shrink is absorbed by the window); taps past f₁
+    # hit zero H rows and rows past the image read the bottom pad
+    win_hp = _plane_win_hp(tile_h + shrink, l1_f, l1_rows, sub)
     ws = [tile_w]
     for s in reversed([f - 1 for f in fs]):
         ws.append(-(-(ws[-1] + s) // 8) * 8)
@@ -309,8 +316,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 ws[li + 1] = ws[li]
         nblk = -(-ws[1] // 128)
         l1_r, l1_s = _plane_rows(l1_rows, l1_f)
-        win_hp = -(-(l1_r * (-(-(tile_h + shrink) // l1_r)) - l1_r + l1_s)
-                   // sub_align) * sub_align
+        win_hp = _plane_win_hp(tile_h + shrink, l1_f, l1_rows, sub_align)
         win_wp = (nblk - 1) * 128 + 256
         need_h = (grid[0] - 1) * tile_h + win_hp
         need_w = (grid[1] - 1) * tile_w + win_wp
@@ -1090,7 +1096,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     slab at f₁ ≤ 9) halves transpose passes and cuts roll traffic 25%
     at identical main-dot pass counts — measured a win on every
     pairing: flagship 9.6-10.1 → 9.2-9.4 ms, RGB −0.1 ms (interleaved
-    A/B ×3, tools/l1rows_probe.py 2026-08-18).
+    A/B ×3, tools/variants_probe.py 2026-08-18).
     """
     from ..models import forward as _xla_forward
 
@@ -1176,8 +1182,9 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # Dedicated small-tile tests pass plane_input=True explicitly.
         plane_input = not interpret
     use_int8 = input_int8 and dtype != jnp.float32
-    # raw-plane eligibility: f₁ ≤ 9 (the fixed 16-row E slab covers all
-    # dy taps) and, for int8 planes, a 32-multiple tile_h — the plane
+    # raw-plane eligibility: f₁ ≤ 9 (S−R+1 == 9 at every _plane_rows
+    # geometry: R=8/S=16 and R=16/S=24 alike — the E slab must cover
+    # all dy taps) and, for int8 planes, a 32-multiple tile_h — the plane
     # DMA's sublane (H) offset is i·tile_h and packed int8 tiles need
     # 32-row alignment (the patch path's sublane offset was j·tile_w,
     # always 128-aligned, so this constraint is new here)

@@ -72,17 +72,41 @@ def test_fallback_paths():
     )
 
 
-def test_fused_multichunk_rolling_z():
+@pytest.mark.parametrize("pipe", [True, False])
+def test_fused_multichunk_rolling_z(pipe):
     """Tile heights that push the mid layers past one Z chunk
-    (_MM_CHUNK_ROWS=32) exercise the rolling-window schedule: full
-    chunks, a short tail chunk, and the f−1-row roll between them."""
+    (_MM_CHUNK_ROWS=32) exercise BOTH chunk schedules: pipe=True the
+    pipelined lagged combine (full-height Z, the shallow-stack
+    default), pipe=False the rolling window — full chunks, a short
+    tail chunk, and the f−1-row roll between them (still the shipped
+    path for deep non-sep f>1 middles, so it must keep coverage)."""
     rng = np.random.default_rng(5)
-    # f=5 mids at tile_h=64: ph=72 → chunks 32+32+8 with f−1=4-row rolls
+    # f=5 mids at tile_h=64: ph=72 → chunks 32+32+8 (rolling: f−1=4-row
+    # rolls; piped: combine lags one chunk + a drain)
     params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
     x = jnp.asarray(rng.standard_normal((1, 90, 150, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=64, tile_w=128, dtype=jnp.float32)
+    y = fused_forward(params, x, tile_h=64, tile_w=128, dtype=jnp.float32,
+                      pipe_combine=pipe)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_deep_rolling_z_multichunk():
+    """Deep-stack rolling coverage: a 5-layer model whose f=5 middles
+    are neither sep-eligible (f≠3) nor pipelined (deep stack, not the
+    last layer) runs the rolling-window schedule with multiple chunks
+    per layer (chunk_rows=8 < ph) — the only remaining production
+    path through the roll, pinned here since shallow stacks default
+    to the pipelined schedule and deep f=3 stacks to sep."""
+    rng = np.random.default_rng(11)
+    params = _params(
+        rng, [(3, 1, 8), (5, 8, 8), (5, 8, 8), (5, 8, 8), (3, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 60, 140, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=32, tile_w=128, dtype=jnp.float32,
+                      chunk_rows=8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_fused_deep_stack_multichunk():
@@ -301,21 +325,25 @@ def test_fused_plane_input_matches_xla(h, w, l1_rows):
     identity-dot transpose — ops/pallas_fused.py plane branch): must
     match the XLA path like the patch-array build it replaces, at both
     block heights (R=16/S=24 is the compiled-TPU default; R=8/S=16 the
-    historical geometry). Small tiles keep the interpret-mode trace
-    tractable and exercise partial last R-row groups."""
+    historical geometry). tile_h=16 → oh=24: one full + one PARTIAL
+    R=16 group per tile (production flagship tiles hit the partial
+    branch every tile: oh=72, 72 % 16 == 8); the int8 leg runs
+    tile_h=32 — the smallest height the int8-plane sublane-alignment
+    gate admits, so it actually exercises the int8 PLANE path rather
+    than silently falling back to the folded patch build."""
     rng = np.random.default_rng(7)
     params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
     # int8 path precondition: inputs in [-1, 1] (mean-subtracted
     # normalized luma always is; values outside clip)
     x = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 1)).astype(np.float32))
     y_ref = forward(params, x)
-    y = fused_forward(params, x, tile_h=8, tile_w=128, dtype=jnp.float32,
+    y = fused_forward(params, x, tile_h=16, tile_w=128, dtype=jnp.float32,
                       plane_input=True, l1_rows=l1_rows)
     assert y.shape == y_ref.shape
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-5, atol=1e-5)
     # int8 plane quantization: 1/254 input step through the conv stack
-    yi = fused_forward(params, x, tile_h=8, tile_w=128, input_int8=True,
+    yi = fused_forward(params, x, tile_h=32, tile_w=128, input_int8=True,
                        plane_input=True, l1_rows=l1_rows)
     assert float(jnp.abs(yi - y_ref).max()) < 0.06
 
