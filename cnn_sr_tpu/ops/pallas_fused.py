@@ -572,9 +572,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
                             # full-row store: (1,1,1) stores into packed
                             # bf16 refs fail Mosaic lowering
-                            act_refs[li][r8 : r8 + 1] = jnp.full(
-                                (1,) + act_refs[li].shape[1:],
-                                jnp.max(yb), act_dt)
+                            act_refs[li][r8 : r8 + 1] = jnp.broadcast_to(
+                                jnp.max(yb.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                                (1,) + act_refs[li].shape[1:])
                             continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
@@ -618,9 +619,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         y = yg if y is None else y + yg
                     if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1] = jnp.full(
-                            (1,) + act_refs[li].shape[1:],
-                            jnp.max(y), act_dt)
+                        act_refs[li][c0 : c0 + 1] = jnp.broadcast_to(
+                            jnp.max(y.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                            (1,) + act_refs[li].shape[1:])
                     else:
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
@@ -650,17 +652,24 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                 preferred_element_type=jnp.float32,
                             )
                             y = yg if y is None else y + yg
-                    else:  # triage: store-side cost only
-                        y = jnp.zeros((m * ow, n), jnp.float32)
+                    else:  # triage: store-side cost only — the value
+                        # must DEPEND on the input (an all-constant y
+                        # makes Mosaic constant-fold the downstream
+                        # prepack stores and crash the remote compiler)
+                        y = jnp.broadcast_to(
+                            src[c0 : c0 + 1, 0:1, 0:1]
+                            .astype(jnp.float32).reshape(1, 1),
+                            (m * ow, n))
                     yv = jnp.maximum(
                         y.reshape(m, ow, n) + b_ref[...], 0.0
                     ).astype(act_dt)
                     if "mid_combine" in _DEBUG_SKIP:
                         continue  # triage (sep has no combine: ≙ store)
                     if "mid_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1] = jnp.full(
-                            (1,) + act_refs[li].shape[1:],
-                            jnp.max(yv), act_dt)
+                        act_refs[li][c0 : c0 + 1] = jnp.broadcast_to(
+                            jnp.max(yv.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                            (1,) + act_refs[li].shape[1:])
                     else:
                         store_act(li, c0, ce, yv)
                 continue
@@ -734,9 +743,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     ].astype(jnp.float32)
                 if "mid_store" in _DEBUG_SKIP:  # triage-only gate
                     # keep the combine alive (a dead val would be DCE'd)
-                    act_refs[li][o0 : o0 + 1] = jnp.full(
-                        (1,) + act_refs[li].shape[1:],
-                        jnp.max(val), act_dt)
+                    act_refs[li][o0 : o0 + 1] = jnp.broadcast_to(
+                        jnp.max(val.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                        (1,) + act_refs[li].shape[1:])
                 else:
                     store_act(li, o0, o1, jnp.maximum(
                         val + b_ref[...], 0.0).astype(act_dt))
@@ -756,13 +766,23 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         ].astype(dtype)
                 operand = (src[zs:ze, 0:ow, 0 : f * k] if pre
                            else p_ref[0 : ze - zs])
+                base = zs if piped else f - 1
                 if "mid_dot" not in _DEBUG_SKIP:  # triage-only gate
-                    base = zs if piped else f - 1
                     z_ref[base : base + ze - zs] = jnp.dot(
                         operand.reshape((ze - zs) * ow, f * k),
                         w_ref[...],
                         preferred_element_type=jnp.float32,
                     ).reshape(ze - zs, ow, f * n).astype(z_ref.dtype)
+                else:
+                    # triage: replace the dot with an input-dependent
+                    # broadcast — Z must still be written (reads of a
+                    # never-written full-height scratch crash the
+                    # remote compiler) and must not be constant (an
+                    # all-constant Z constant-folds the combine)
+                    z_ref[base : base + ze - zs] = jnp.broadcast_to(
+                        operand[0:1, 0:1, 0:1].astype(z_ref.dtype)
+                        .reshape(1, 1, 1),
+                        (ze - zs, ow, f * n))
                 if piped:
                     # lagged: rows whose Z window lies in chunks < this
                     o1p = min(oh, prev_ze - (f - 1))

@@ -107,6 +107,10 @@ def main(argv=None) -> int:
                   for li in range(1, len(params) - 1)]
     if args.fine:
         modes += [
+            # NOTE: mid_dot is known to crash the axon remote compiler
+            # on the 7-layer RGB stack (exit 1 even with Z kept written
+            # and input-dependent, 2026-08-19); it compiles fine on the
+            # flagship. The tool reports the failure and continues.
             ("-mid_dot (all-phase matmuls)", frozenset({"mid_dot"})),
             ("-mid_combine (phase combine+store)",
              frozenset({"mid_combine"})),
