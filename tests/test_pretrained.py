@@ -70,7 +70,7 @@ def test_rgb_pretrained_checkpoint_loads():
     assert cfg.channels == 3 and cfg.zero_mean_target
     assert not cfg.last_layer_relu_gate
     params, epochs = load_parameters_file(RGB_CKPT, cfg.layer_specs())
-    assert epochs == 26000
+    assert epochs == 27000
     assert [p["w"].shape for p in params] == [
         (3, 3, 3, 32), (3, 3, 32, 32), (3, 3, 32, 64), (3, 3, 64, 64),
         (3, 3, 64, 128), (3, 3, 128, 128), (3, 3, 128, 3),
