@@ -287,6 +287,14 @@ def test_fused_mm_last_layer():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_vpu),
                                    rtol=1e-5, atol=1e-5)
+        # rolling-schedule mm_last (pipe_combine=False): same combine
+        # through the rolled Z window rather than the lagged full-height
+        # one — the non-default schedule must not drift
+        y_roll = fused_forward(params, x, tile_h=th, tile_w=128,
+                               dtype=jnp.float32, mm_last=True,
+                               pipe_combine=False)
+        np.testing.assert_allclose(np.asarray(y_roll), np.asarray(y_mm),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_prepadded_build_skips_tail_pad():
