@@ -327,13 +327,14 @@ def test_prepadded_build_skips_tail_pad():
 
 
 @pytest.mark.parametrize("h,w", [(44, 150), (57, 131)])
-@pytest.mark.parametrize("l1_rows", [8, 16])
+@pytest.mark.parametrize("l1_rows", [8, 16, 24, 32])
 def test_fused_plane_input_matches_xla(h, w, l1_rows):
     """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
     identity-dot transpose — ops/pallas_fused.py plane branch): must
-    match the XLA path like the patch-array build it replaces, at both
-    block heights (R=16/S=24 is the compiled-TPU default; R=8/S=16 the
-    historical geometry). tile_h=16 → oh=24: one full + one PARTIAL
+    match the XLA path like the patch-array build it replaces, at every
+    supported block height (R=16/S=24 is the compiled-TPU default;
+    R=8/S=16 the historical geometry; R=24/S=32 and R=32/S=40 are the
+    taller sweep candidates — per-row roll traffic scales (R+8)/R). tile_h=16 → oh=24: one full + one PARTIAL
     R=16 group per tile (production flagship tiles hit the partial
     branch every tile: oh=72, 72 % 16 == 8); the int8 leg runs
     tile_h=32 — the smallest height the int8-plane sublane-alignment
