@@ -326,20 +326,27 @@ def test_prepadded_build_skips_tail_pad():
             np.asarray(y), np.asarray(y_ref), atol=tol)
 
 
-@pytest.mark.parametrize("h,w", [(44, 150), (57, 131)])
-@pytest.mark.parametrize("l1_rows", [8, 16, 24, 32])
+@pytest.mark.parametrize("h,w,l1_rows", [
+    # both sizes at the production R=16 and historical R=8 geometries;
+    # the taller 24/32 sweep candidates at one size only (interpret-mode
+    # runtime — each case costs ~25 s on the CPU mesh)
+    (44, 150, 8), (57, 131, 8),
+    (44, 150, 16), (57, 131, 16),
+    (57, 131, 24), (57, 131, 32),
+])
 def test_fused_plane_input_matches_xla(h, w, l1_rows):
     """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
     identity-dot transpose — ops/pallas_fused.py plane branch): must
-    match the XLA path like the patch-array build it replaces, at every
-    supported block height (R=16/S=24 is the compiled-TPU default;
+    match the XLA path like the patch-array build it replaces, at the
+    four swept block heights (R=16/S=24 is the compiled-TPU default;
     R=8/S=16 the historical geometry; R=24/S=32 and R=32/S=40 are the
-    taller sweep candidates — per-row roll traffic scales (R+8)/R). tile_h=16 → oh=24: one full + one PARTIAL
-    R=16 group per tile (production flagship tiles hit the partial
-    branch every tile: oh=72, 72 % 16 == 8); the int8 leg runs
-    tile_h=32 — the smallest height the int8-plane sublane-alignment
-    gate admits, so it actually exercises the int8 PLANE path rather
-    than silently falling back to the folded patch build."""
+    taller sweep candidates — per-row roll traffic scales (R+8)/R).
+    At tile_h=16, oh=24: one full + one PARTIAL R=16 group per tile
+    (production flagship tiles hit the partial branch every tile:
+    oh=72, 72 % 16 == 8). The int8 leg runs tile_h=32 — the smallest
+    height the int8-plane sublane-alignment gate admits, so it actually
+    exercises the int8 PLANE path rather than silently falling back to
+    the folded patch build."""
     rng = np.random.default_rng(7)
     params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
     # int8 path precondition: inputs in [-1, 1] (mean-subtracted
