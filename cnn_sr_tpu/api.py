@@ -34,9 +34,11 @@ from .ops.color import (
 from .utils.config import Config
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32",
+                                   "squared_mean"))
 def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
-                      add_mean: bool = False, pallas_f32: bool = False):
+                      add_mean: bool = False, pallas_f32: bool = False,
+                      squared_mean: bool = False):
     """uint8 RGBA (H, W, 4) → uint8 RGB (H, W, 3), luma-channel model.
     ``add_mean``: the model predicts mean-relative luma
     (config ``zero_mean_target``) — add the input mean back.
@@ -47,7 +49,7 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
     (mean-subtracted luma is in [−1,1]; quantization step 1/254 sits
     under the bf16 rounding envelope — docs/BENCHMARKS.md)."""
     luma = extract_luma(rgba, normalize=True)
-    luma0, mean = subtract_mean(luma)
+    luma0, mean = subtract_mean(luma, squared=squared_mean)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
@@ -61,9 +63,11 @@ def _upscale_luma_jit(params, rgba, use_pallas: bool = False,
     return swap_luma(rgba, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32",
+                                   "squared_mean"))
 def _upscale_luma_packed_jit(params, rgba_u32, use_pallas: bool = False,
-                             add_mean: bool = False, pallas_f32: bool = False):
+                             add_mean: bool = False, pallas_f32: bool = False,
+                             squared_mean: bool = False):
     """Byte-packed twin of ``_upscale_luma_jit``: (H, W) uint32 RGBA in,
     (H, W) uint32 RGB(A) out. Rank-3 (H, W, 4) uint8 arrays lane-pad
     4 → 128 on TPU (32x physical bytes on every color-end read/write);
@@ -71,7 +75,7 @@ def _upscale_luma_packed_jit(params, rgba_u32, use_pallas: bool = False,
     into shift/mask ops. Bit-identical output (ops.color shares one
     expression core between the two forms; pinned by tests)."""
     luma = extract_luma_packed(rgba_u32, normalize=True)
-    luma0, mean = subtract_mean(luma)
+    luma0, mean = subtract_mean(luma, squared=squared_mean)
     if use_pallas:
         from .ops.pallas_fused import fused_forward
 
@@ -132,10 +136,11 @@ def _upscale_rgb_packed_jit(params, rgba_u32, use_pallas: bool = False,
     return swap_rgb_packed(rgba_u32, y)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32",
+                                   "squared_mean"))
 def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
                          use_pallas: bool = False, add_mean: bool = False,
-                         pallas_f32: bool = False):
+                         pallas_f32: bool = False, squared_mean: bool = False):
     """Net luma output for an edge-padded image whose valid region is
     (valid_h, valid_w) — traced scalars, so ONE compiled program serves
     every image that rounds up to the same bucket shape.
@@ -149,7 +154,8 @@ def _luma_forward_padded(params, rgba_padded, valid_h, valid_w,
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     valid = (rows < valid_h) & (cols < valid_w)
-    mean = jnp.sum(jnp.where(valid, luma, 0.0)) / (
+    stat = jnp.square(luma) if squared_mean else luma
+    mean = jnp.sum(jnp.where(valid, stat, 0.0)) / (
         valid_h.astype(jnp.float32) * valid_w.astype(jnp.float32)
     )
     luma0 = luma - mean
@@ -228,6 +234,7 @@ def _upscale_luma_bucketed(cfg, params, rgba, bucket: int, use_pallas: bool,
         params, jnp.asarray(padded),
         jnp.int32(h), jnp.int32(w), use_pallas=use_pallas,
         add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32,
+        squared_mean=cfg.subtract_squared_mean,
     )
     y_valid = y[: h - shrink, : w - shrink]
     return np.asarray(_swap_luma_jit(jnp.asarray(rgba), y_valid))
@@ -277,18 +284,23 @@ def upscale_image(
         return _upscale_rgb_bucketed(cfg, params_j, np.asarray(rgba), bucket,
                                      use_pallas, pallas_f32)
     if packed_io:
-        fn = (_upscale_luma_packed_jit if cfg.channels == 1
-              else _upscale_rgb_packed_jit)
-        out_u32 = fn(
-            params_j, jnp.asarray(pack_rgba_host(np.asarray(rgba))),
-            use_pallas=use_pallas, add_mean=cfg.zero_mean_target,
-            pallas_f32=pallas_f32)
+        packed = jnp.asarray(pack_rgba_host(np.asarray(rgba)))
+        if cfg.channels == 1:
+            out_u32 = _upscale_luma_packed_jit(
+                params_j, packed, use_pallas=use_pallas,
+                add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32,
+                squared_mean=cfg.subtract_squared_mean)
+        else:
+            out_u32 = _upscale_rgb_packed_jit(
+                params_j, packed, use_pallas=use_pallas,
+                add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32)
         return np.ascontiguousarray(unpack_rgb_host(np.asarray(out_u32)))
     img = jnp.asarray(rgba)
     if cfg.channels == 1:
         out = _upscale_luma_jit(params_j, img, use_pallas=use_pallas,
                                 add_mean=cfg.zero_mean_target,
-                                pallas_f32=pallas_f32)
+                                pallas_f32=pallas_f32,
+                                squared_mean=cfg.subtract_squared_mean)
     else:
         out = _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
                                add_mean=cfg.zero_mean_target,
@@ -296,14 +308,17 @@ def upscale_image(
     return np.asarray(out)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32",
+                                   "squared_mean"))
 def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
-                            add_mean: bool = False, pallas_f32: bool = False):
+                            add_mean: bool = False, pallas_f32: bool = False,
+                            squared_mean: bool = False):
     """uint8 RGBA (S, H, W, 4) → uint8 RGB (S, H, W, 3) — batched luma
     pipeline in one program (the batch axis also shards over a "data"
     mesh axis under jit, giving multi-chip batched inference for free)."""
     lumas = jax.vmap(lambda im: extract_luma(im, normalize=True))(rgbas)
-    means = jnp.mean(lumas, axis=(1, 2), keepdims=True)
+    means = jnp.mean(jnp.square(lumas) if squared_mean else lumas,
+                     axis=(1, 2), keepdims=True)
     lumas0 = lumas - means
     if use_pallas:
         from .ops.pallas_fused import fused_forward
@@ -318,14 +333,17 @@ def _upscale_luma_batch_jit(params, rgbas, use_pallas: bool = False,
     return jax.vmap(swap_luma)(rgbas, ys)
 
 
-@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32"))
+@partial(jax.jit, static_argnames=("use_pallas", "add_mean", "pallas_f32",
+                                   "squared_mean"))
 def _upscale_luma_batch_packed_jit(params, rgbas_u32, use_pallas: bool = False,
                                    add_mean: bool = False,
-                                   pallas_f32: bool = False):
+                                   pallas_f32: bool = False,
+                                   squared_mean: bool = False):
     """Byte-packed twin of ``_upscale_luma_batch_jit``: (S, H, W) uint32
     in/out (see ``_upscale_luma_packed_jit`` for the TPU rationale)."""
     lumas = jax.vmap(lambda im: extract_luma_packed(im, normalize=True))(rgbas_u32)
-    means = jnp.mean(lumas, axis=(1, 2), keepdims=True)
+    means = jnp.mean(jnp.square(lumas) if squared_mean else lumas,
+                     axis=(1, 2), keepdims=True)
     lumas0 = lumas - means
     if use_pallas:
         from .ops.pallas_fused import fused_forward
@@ -364,7 +382,8 @@ def upscale_batch(
         if cfg.channels == 1:
             out_u32 = _upscale_luma_batch_packed_jit(
                 params_j, packed, use_pallas=use_pallas,
-                add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32)
+                add_mean=cfg.zero_mean_target, pallas_f32=pallas_f32,
+                squared_mean=cfg.subtract_squared_mean)
         else:
             out_u32 = jnp.stack([
                 _upscale_rgb_packed_jit(
@@ -377,7 +396,8 @@ def upscale_batch(
     if cfg.channels == 1:
         out = _upscale_luma_batch_jit(params_j, imgs, use_pallas=use_pallas,
                                       add_mean=cfg.zero_mean_target,
-                                      pallas_f32=pallas_f32)
+                                      pallas_f32=pallas_f32,
+                                      squared_mean=cfg.subtract_squared_mean)
     else:
         out = jnp.stack([
             _upscale_rgb_jit(params_j, img, use_pallas=use_pallas,
@@ -425,7 +445,7 @@ def upscale_image_spatial(
                      devices=jax.devices()[:n_shards])
 
     key = (n_shards, use_pallas, pallas_f32, cfg.channels,
-           cfg.zero_mean_target)
+           cfg.zero_mean_target, cfg.subtract_squared_mean)
     step = _SPATIAL_STEPS.get(key)
     if step is None:
         if use_pallas:
@@ -441,7 +461,8 @@ def upscale_image_spatial(
         def step(params, rgba, pad_rows, _mesh=mesh, _fwd=fwd):
             if cfg.channels == 1:
                 luma = extract_luma(rgba, normalize=True)
-                plane0, mean = subtract_mean(luma)
+                plane0, mean = subtract_mean(
+                    luma, squared=cfg.subtract_squared_mean)
                 x = plane0[None, ..., None]
             else:
                 rgb = rgba[..., :3].astype(jnp.float32) / 255.0

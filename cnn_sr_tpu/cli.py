@@ -264,7 +264,8 @@ def run_training(args, cfg, profiler) -> int:
     with profiler.stage("load_samples"):
         pairs = find_training_samples(args.in_path)
         samples = load_sample_set(pairs, channels=cfg.channels,
-                                  zero_mean_target=cfg.zero_mean_target)
+                                  zero_mean_target=cfg.zero_mean_target,
+                                  squared_mean=cfg.subtract_squared_mean)
     print(f"Loaded {samples.count} samples of {samples.width}x{samples.height}")
 
     state = init_train_state(cfg, seed=args.seed)

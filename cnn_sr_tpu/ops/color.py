@@ -57,15 +57,26 @@ def extract_luma(image: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     )
 
 
-def subtract_mean(luma: jnp.ndarray):
+def subtract_mean(luma: jnp.ndarray, squared: bool = False):
     """Subtract the per-image mean. Returns ``(zero_mean_luma, mean)``.
 
     Applied to model *inputs only* (never ground truth) — Main_cl.cpp:141,
     230. The mean is returned because write-out needs nothing from it in
     the reference (swap_luma consumes the raw 0..1 net output), but
     callers may want it for diagnostics.
+
+    ``squared=True`` subtracts E[luma²] instead — replicating an upstream
+    host bug the shipped reference binary ALWAYS exhibits:
+    ``DataPipeline::subtract_mean`` (DataPipeline.cpp:268-280) calls
+    ``sum(data, ev_to_wait_for)`` against ``float sum(MemoryHandle,
+    bool squared = false, cl_event* = nullptr)`` (DataPipeline.hpp:171),
+    so the non-null ``cl_event*`` converts to ``squared=true`` and the
+    SUM_SQUARED kernel variant runs. Verified bit-exact against the
+    actual binary via tools/reforacle (docs/REFERENCE_PARITY.md); opt in
+    with config ``subtract_squared_mean`` when reproducing the binary or
+    loading weights it trained.
     """
-    mean = jnp.mean(luma)
+    mean = jnp.mean(jnp.square(luma) if squared else luma)
     return luma - mean, mean
 
 

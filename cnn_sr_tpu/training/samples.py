@@ -90,7 +90,8 @@ class SampleSet:
 
 
 def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1,
-                    zero_mean_target: bool = False) -> SampleSet:
+                    zero_mean_target: bool = False,
+                    squared_mean: bool = False) -> SampleSet:
     """Decode and preprocess all sample pairs into stacked arrays.
 
     ``channels=1`` (reference behavior): normalized Rec.601 luma, input
@@ -108,7 +109,10 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1,
     if not pairs:
         raise ValueError("no training samples found")
 
-    if channels == 1 and not zero_mean_target:
+    # the native C++ loader computes the plain mean; the squared-mean
+    # binary-compat quirk (config subtract_squared_mean — see
+    # ops/color.py:subtract_mean) takes the PIL path
+    if channels == 1 and not zero_mean_target and not squared_mean:
         native_set = _load_sample_set_native(pairs)
         if native_set is not None:
             return native_set
@@ -131,7 +135,8 @@ def load_sample_set(pairs: List[Tuple[str, str]], channels: int = 1,
             )
         if channels == 1:
             raw = np.asarray(extract_luma(small, normalize=True))[..., None]
-            inp, in_mean = subtract_mean(raw)  # input only (Main_cl.cpp:141)
+            # input only (Main_cl.cpp:141)
+            inp, in_mean = subtract_mean(raw, squared=squared_mean)
             inp = np.asarray(inp)
             exp = np.asarray(extract_luma(large, normalize=True))[..., None]
             if zero_mean_target:

@@ -129,6 +129,14 @@ class Config:
     # coupling holds for direct Config(...) construction too, not just
     # parse_config.
     last_layer_relu_gate: Optional[bool] = None
+    # Binary-compat quirk: subtract E[luma²] instead of the mean from
+    # model inputs, replicating the shipped reference binary's cl_event*→
+    # bool conversion bug in DataPipeline::subtract_mean
+    # (DataPipeline.cpp:276 vs DataPipeline.hpp:171 — see
+    # ops/color.py:subtract_mean and docs/REFERENCE_PARITY.md). Off by
+    # default: the intended semantics. Turn on to reproduce the binary
+    # bit-for-bit or to run weights the binary trained. Luma models only.
+    subtract_squared_mean: bool = False
 
     def __post_init__(self):
         if self.last_layer_relu_gate is None:
@@ -196,6 +204,9 @@ class Config:
             _require(pd.sd_b >= 0, "std dev. for bias should be >= 0")
         for v in (self.momentum, self.weight_decay, *self.learning_rates):
             _require(not math.isnan(v), "config value is NaN")
+        _require(not (self.subtract_squared_mean and self.channels != 1),
+                 "subtract_squared_mean replicates the reference binary's "
+                 "luma-pipeline quirk; it requires channels == 1")
 
     def __str__(self) -> str:
         # pretty print a la Config::operator<< (Config.cpp:150-175)
@@ -297,6 +308,7 @@ def parse_config(raw: dict, base_dir: Optional[str] = None) -> Config:
             bool(raw["last_layer_relu_gate"])
             if "last_layer_relu_gate" in raw else None
         ),
+        subtract_squared_mean=bool(raw.get("subtract_squared_mean", False)),
     )
     cfg.validate()
     return cfg

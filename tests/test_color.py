@@ -49,6 +49,20 @@ def test_subtract_mean():
     np.testing.assert_allclose(float(mean), float(jnp.mean(luma)), rtol=1e-6)
 
 
+def test_subtract_mean_squared_quirk():
+    """``squared=True`` subtracts E[luma²] — the shipped reference
+    binary's behavior (DataPipeline.cpp:268-280 passes a cl_event* into
+    `bool squared`; proven bit-exact via tools/reforacle — see
+    docs/REFERENCE_PARITY.md)."""
+    luma = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, (6, 7)).astype(np.float32))
+    zero_mean, mean = subtract_mean(luma, squared=True)
+    want = float(jnp.mean(jnp.square(luma)))
+    np.testing.assert_allclose(float(mean), want, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(zero_mean), np.asarray(luma) - want, rtol=1e-5)
+
+
 def test_swap_luma_matches_oracle():
     img = _color_grid(8, 9, seed=3)
     # luma window smaller than the image → padding border passthrough

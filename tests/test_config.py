@@ -49,6 +49,17 @@ def test_valid_config():
     assert cfg.total_padding() == 9 + 1 + 5 - 3
 
 
+def test_subtract_squared_mean_flag():
+    """Binary-compat quirk flag: off by default, parsed when present,
+    rejected for RGB models (the quirk lives in the luma pipeline —
+    docs/REFERENCE_PARITY.md)."""
+    assert parse_config(VALID).subtract_squared_mean is False
+    cfg = parse_config({**VALID, "subtract_squared_mean": True})
+    assert cfg.subtract_squared_mean is True
+    with pytest.raises(ConfigValidationError):
+        parse_config({**VALID, "subtract_squared_mean": True, "channels": 3})
+
+
 def test_layer_specs():
     specs = parse_config(VALID).layer_specs()
     assert [(s.f, s.n_in, s.n_out, s.relu) for s in specs] == [

@@ -33,9 +33,11 @@ CFG = {
 }
 
 
-def _oracle_pipeline(params, rgba):
+def _oracle_pipeline(params, rgba, squared_mean=False):
     luma = oracles.extract_luma(rgba, normalize=True).astype(np.float64)
-    luma = luma - luma.mean()
+    # squared_mean replicates the shipped binary's cl_event*→bool bug
+    # (DataPipeline.cpp:276 vs DataPipeline.hpp:171): E[luma²] subtracted
+    luma = luma - (np.square(luma).mean() if squared_mean else luma.mean())
     act = luma[..., None].astype(np.float32)
     n = len(params)
     for i, p in enumerate(params):
@@ -69,3 +71,27 @@ def test_full_pipeline_matches_oracle(seed):
     # truncation boundary flips only
     assert diff.max() <= 1, f"max channel diff {diff.max()}"
     assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} of pixels differ"
+
+
+def test_squared_mean_quirk_matches_oracle():
+    """config ``subtract_squared_mean`` (binary-compat quirk) through the
+    public API vs the quirk-aware oracle — the same arbitration that
+    proved the real binary bit-exact (docs/REFERENCE_PARITY.md)."""
+    cfg = parse_config({**CFG, "subtract_squared_mean": True})
+    assert cfg.subtract_squared_mean
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=3)
+
+    rng = np.random.default_rng(13)
+    yy, xx = np.mgrid[0:30, 0:36]
+    base = np.clip(128 + 70 * np.sin(yy / 4.0) + rng.normal(0, 12, (30, 36)),
+                   0, 255)
+    rgba = np.stack([base, base * 0.6 + 40, 255 - base,
+                     np.full_like(base, 255)], axis=-1).astype(np.uint8)
+
+    got = upscale_image(cfg, params, rgba)
+    want = _oracle_pipeline(params, rgba, squared_mean=True)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max channel diff {diff.max()}"
+    # and the quirk must actually change the output vs intended semantics
+    plain = upscale_image(parse_config(CFG), params, rgba)
+    assert np.any(plain != got)
