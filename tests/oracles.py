@@ -40,6 +40,54 @@ def conv_forward(inp, w, b, relu):
     return out.astype(np.float32)
 
 
+def conv_forward_vec(inp, w, b, relu):
+    """Vectorized twin of ``conv_forward`` for flagship-scale shapes —
+    the SAME formula (layer_uber_kernel.cl:59-95) expressed as numpy
+    sliding windows + einsum instead of the quintuple loop, still
+    independent of production code. Pinned against the loop version in
+    tests/test_model.py::test_vectorized_oracle_matches_loop."""
+    f = w.shape[0]
+    win = np.lib.stride_tricks.sliding_window_view(
+        inp.astype(np.float64), (f, f), axis=(0, 1)
+    )  # (oh, ow, k, f, f)
+    out = np.einsum("jikyx,yxkn->jin", win, w.astype(np.float64),
+                    optimize=True) + b
+    if relu:
+        out = np.maximum(out, 0.0)
+    return out.astype(np.float32)
+
+
+def swap_luma_vec(original_rgb, new_luma):
+    """Vectorized twin of ``swap_luma`` (same swap_luma.cl:19-69 math,
+    array-at-once). Pinned against the loop version in tests."""
+    h, w = original_rgb.shape[:2]
+    lh, lw = new_luma.shape
+    pad = (w - lw) // 2
+    out = original_rgb[..., :3].astype(np.uint8).copy()
+    px = original_rgb[pad:pad + lh, pad:pad + lw, :3].astype(np.float64)
+    Y = new_luma.astype(np.float64) * 255.0
+    cb = -0.1687 * px[..., 0] - 0.3312 * px[..., 1] + 0.5 * px[..., 2]
+    cr = 0.5 * px[..., 0] - 0.4186 * px[..., 1] - 0.0813 * px[..., 2]
+    rgb = np.stack(
+        [Y + 1.4 * cr, Y - 0.343 * cb - 0.711 * cr, Y + 1.765 * cb], axis=-1)
+    out[pad:pad + lh, pad:pad + lw] = np.trunc(
+        np.clip(rgb, 0.0, 255.0)).astype(np.uint8)
+    return out
+
+
+def swap_rgb_vec(original_rgb, new_rgb):
+    """RGB-family writeback: paste trunc(clip(y*255)) into the center,
+    border passthrough (ops/color.py:swap_rgb contract)."""
+    h, w = original_rgb.shape[:2]
+    lh, lw = new_rgb.shape[:2]
+    pad = (w - lw) // 2
+    out = original_rgb[..., :3].astype(np.uint8).copy()
+    out[pad:pad + lh, pad:pad + lw] = np.trunc(
+        np.clip(new_rgb.astype(np.float64) * 255.0, 0.0, 255.0)
+    ).astype(np.uint8)
+    return out
+
+
 def last_layer_delta(y, gt):
     """last_layer_delta.cl:40-47: delta = (y − gt_center_crop) · (y > 0).
 

@@ -33,6 +33,21 @@ CFG = {
 }
 
 
+def _mk_rgba(h, w, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(
+        128 + 70 * np.sin(yy / 5.0) + 50 * np.cos(xx / 7.0)
+        + rng.normal(0, 10, (h, w)),
+        0, 255,
+    )
+    return np.stack(
+        [base, np.clip(base * 0.7 + 30, 0, 255), 255 - base,
+         np.full_like(base, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
 def _oracle_pipeline(params, rgba, squared_mean=False):
     luma = oracles.extract_luma(rgba, normalize=True).astype(np.float64)
     # squared_mean replicates the shipped binary's cl_event*→bool bug
@@ -71,6 +86,67 @@ def test_full_pipeline_matches_oracle(seed):
     # truncation boundary flips only
     assert diff.max() <= 1, f"max channel diff {diff.max()}"
     assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.3%} of pixels differ"
+
+
+def _oracle_pipeline_vec(params, rgba):
+    """Flagship-scale oracle: identical math to ``_oracle_pipeline`` via
+    the vectorized oracles (themselves pinned against the loop versions
+    in tests/test_model.py)."""
+    luma = oracles.extract_luma(rgba, normalize=True).astype(np.float64)
+    luma = luma - luma.mean()
+    act = luma[..., None].astype(np.float32)
+    n = len(params)
+    for i, p in enumerate(params):
+        act = oracles.conv_forward_vec(act, p["w"], p["b"], relu=(i != n - 1))
+    return oracles.swap_luma_vec(rgba, act[..., 0])
+
+
+def test_flagship_955_pipeline_matches_oracle():
+    """VERDICT r1: the 9-5-5 (64/32) shape class — where layout bugs
+    would actually live — oracle-checked end-to-end on a ≥64×64 image."""
+    cfg = parse_config({**CFG, "n1": 64, "n2": 32,
+                        "f1": 9, "f2": 5, "f3": 5})
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=5)
+    rgba = _mk_rgba(72, 84, seed=20)
+
+    got = upscale_image(cfg, params, rgba)
+    want = _oracle_pipeline_vec(params, rgba)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max channel diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+def test_rgb7_pipeline_matches_oracle():
+    """The 7-layer RGB family end-to-end vs the vectorized oracle:
+    per-channel mean subtract (api._upscale_rgb_jit), 7×(f=3) conv
+    stack, swap_rgb writeback with border passthrough."""
+    cfg = parse_config({
+        "channels": 3,
+        "layers": [{"n": 16, "f": 3}, {"n": 16, "f": 3}, {"n": 32, "f": 3},
+                   {"n": 32, "f": 3}, {"n": 64, "f": 3}, {"n": 64, "f": 3},
+                   {"n": 3, "f": 3}],
+        "momentum": 0.9, "weight_decay_parameter": 0.0001,
+        "learning_rates": [1e-4] * 7,
+        "parameters_distribution": {
+            "mean_w": 0.0, "mean_b": 0.0,
+            "std_deviation_w": 0.05, "std_deviation_b": 0.01,
+        },
+    })
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=6)
+    rgba = _mk_rgba(64, 70, seed=21)
+
+    got = upscale_image(cfg, params, rgba)
+
+    rgb = rgba[..., :3].astype(np.float64) / 255.0
+    act = (rgb - rgb.mean(axis=(0, 1), keepdims=True)).astype(np.float32)
+    n = len(params)
+    for i, p in enumerate(params):
+        act = oracles.conv_forward_vec(act, p["w"], p["b"], relu=(i != n - 1))
+    want = oracles.swap_rgb_vec(rgba, act)
+
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max channel diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
 
 
 def test_squared_mean_quirk_matches_oracle():

@@ -36,6 +36,32 @@ def test_conv_layer_matches_oracle(k, n, f, w_dim, h_dim, relu):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("k,n,f,w_dim,h_dim", LAYER_CASES)
+def test_vectorized_oracle_matches_loop(k, n, f, w_dim, h_dim):
+    """conv_forward_vec (einsum, used at flagship scale) must reproduce
+    the loop-level oracle exactly — guards the vectorization itself."""
+    rng = np.random.default_rng(hash((k, n, f, "vec")) % 2**32)
+    inp = rng.standard_normal((h_dim, w_dim, k)).astype(np.float32)
+    w = rng.standard_normal((f, f, k, n)).astype(np.float32)
+    b = rng.standard_normal((n,)).astype(np.float32)
+    for relu in (True, False):
+        # identical f64 math, different summation order (einsum pairwise
+        # vs serial loop) → agreement to the last f32 ulp, not bit-equal
+        np.testing.assert_allclose(
+            oracles.conv_forward_vec(inp, w, b, relu),
+            oracles.conv_forward(inp, w, b, relu),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_vectorized_swap_luma_matches_loop():
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (12, 14, 4), dtype=np.uint8)
+    luma = rng.uniform(-0.2, 1.2, (8, 10)).astype(np.float32)
+    np.testing.assert_array_equal(
+        oracles.swap_luma_vec(img, luma), oracles.swap_luma(img, luma))
+
+
 def _random_params(rng, specs):
     return [
         {
