@@ -31,6 +31,7 @@ from .ops.color import (
     unpack_rgb_host,
     unpack_rgb_planes,
 )
+from .utils.cache import LRUCache
 from .utils.config import Config
 
 
@@ -408,7 +409,10 @@ def upscale_batch(
     return np.asarray(out)
 
 
-_SPATIAL_STEPS: dict = {}
+# bounded LRU: spatial serving programs per (shards, flags, channels)
+# combination — eviction keeps long-lived serve processes flat (the key
+# also pins the Mesh alive, so unbounded growth would leak meshes too)
+_SPATIAL_STEPS = LRUCache(maxsize=8)
 
 
 def upscale_image_spatial(

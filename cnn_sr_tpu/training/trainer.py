@@ -38,6 +38,7 @@ import numpy as np
 
 from ..models import loss_sum, luma_mse_metrics
 from ..optim import init_optimizer_state, update_parameters
+from ..utils.cache import LRUCache
 from ..utils.config import Config
 from .samples import SampleSet, divide_samples
 
@@ -92,7 +93,9 @@ def _grads(params, inputs, gts, num_chunks: int, precision=None,
 # closure per call would recompile the (expensive) epoch programs on every
 # train_loop invocation. Keyed on the hyperparameters that are baked into
 # the trace; array shapes still re-specialize inside jit as usual.
-_STEP_CACHE: dict = {}
+# Bounded LRU so long-lived processes that churn meshes/hyperparameters
+# don't accumulate compiled programs without limit.
+_STEP_CACHE = LRUCache(maxsize=16)
 
 
 def _cache_key(kind, cfg, num_chunks, mesh, precision=None):
