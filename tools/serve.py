@@ -189,7 +189,9 @@ class DeviceWorker(threading.Thread):
                         cfg, params, rgba, self.spatial_shard,
                         use_pallas=self.use_pallas,
                         pallas_precision=self.pallas_precision)
-            elif len(jobs) > 1 and cfg.channels == 1:
+            elif len(jobs) > 1:
+                # one batched dispatch per same-shape group — luma AND
+                # RGB (api._upscale_rgb_batch_jit)
                 outs = upscale_batch(cfg, params, np.stack(rgbas),
                                      use_pallas=self.use_pallas,
                                      pallas_precision=self.pallas_precision)
