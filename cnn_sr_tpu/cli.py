@@ -379,10 +379,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     if profile:
         print("!!! RUNNING IN PROFILING MODE !!!")
 
-    from .profiling import StageProfiler, print_device_memory
+    from .profiling import StageProfiler, print_device_memory, report_op_shares
     from .utils.config import ConfigError, read_config
 
-    profiler = StageProfiler(enabled=profile, profile_dir=args.trace_dir)
+    # profile mode always captures an op-level trace: into --trace-dir if
+    # given (kept for TensorBoard/Perfetto), else a temp dir consumed by
+    # the ranked per-op table below (reference profile.py:9-18 UX)
+    trace_dir = args.trace_dir
+    if profile and not trace_dir:
+        import tempfile
+
+        trace_dir = tempfile.mkdtemp(prefix="cnnsr_trace_")
+    profiler = StageProfiler(enabled=profile, profile_dir=trace_dir)
 
     try:
         cfg = read_config(args.config)
@@ -415,6 +423,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         profiler.stop_trace()
         profiler.report()
         if profile:
+            report_op_shares(trace_dir)
             print_device_memory()
     if rc == 0:
         print("DONE")

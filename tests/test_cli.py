@@ -99,6 +99,10 @@ def test_train_dry_profile(cfg_path, tmp_path, capsys):
     out_text = capsys.readouterr().out
     assert "PROFILING MODE" in out_text
     assert "stage profile" in out_text
+    # ranked per-op device-time table (reference profile.py:9-18 analog):
+    # the conv layers must dominate and shares must be parseable
+    assert "op profile (device time)" in out_text
+    assert "conv_general_dilated" in out_text
     assert not os.path.exists(str(tmp_path / "params_out.json"))
 
 
