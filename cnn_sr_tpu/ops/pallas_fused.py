@@ -128,6 +128,29 @@ def _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n):
     )
 
 
+def _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n):
+    """Middle layers that run the dy-PACKED dot (``dypack_max_n``): one
+    ``((rows+f−1)·ow, f·k) @ (f·k, f·n)`` all-phase-layout matmul per
+    chunk, combined by f row-shifted lane slices ON VALUES — no Z
+    scratch, no scratch round-trip, and ⌈f·n/128⌉ MXU column passes
+    instead of sep's f at n/128 lane use. The third point in the
+    small-n design space: all-phase (packed lanes + Z store + combine
+    reads), sep (no Z, f passes), dypack (packed lanes, no Z, combine
+    on dot-result values; re-dots f−1 overlap rows per chunk, ~8% extra
+    M at chunk 24). Eligible: the sep-eligible set (f==3, prepacked
+    input) where packing actually reduces passes (⌈f·n/128⌉ < f, i.e.
+    n ∈ {8..64} at f=3) and n ≤ dypack_max_n. Selected layers are
+    REMOVED from the sep set and take the default all-phase weight
+    layout. Shared by the kernel and ``fused_forward`` weight prep."""
+    if dypack_max_n <= 0:
+        return frozenset()
+    elig = _sep_layers(dims, n_layers, prepack_max_deep, dypack_max_n)
+    fs = [d[0] for d in dims]
+    ns = [d[2] for d in dims]
+    return frozenset(
+        li for li in elig if -(-fs[li] * ns[li] // 128) < fs[li])
+
+
 def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
                  l1_gpack: int = 1, l1_dstep: int = 0):
     """Bottom/right padding _fused_tail_single would apply to an (h, w)
@@ -217,7 +240,7 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
-                     "pipe_combine"),
+                     "pipe_combine", "dypack_max_n"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -228,7 +251,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        l1_rows: int = 8,
                        prepack_max_deep: int = 384,
                        mm_last: bool = False, sep_max_n: int = 0,
-                       pipe_combine: bool = True):
+                       pipe_combine: bool = True,
+                       dypack_max_n: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -407,14 +431,18 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     elif fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
-    # separated-phase layers (see _sep_layers): no Z scratch at all
-    sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n)
+    # separated-phase layers (see _sep_layers): no Z scratch at all.
+    # dy-packed layers (see _dypack_layers) take precedence over sep
+    # and also carry no Z.
+    dyp = _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n)
+    sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n) - dyp
     # z scratch for every f>1 MXU layer (incl. the last under mm_last,
-    # excl. separated-phase layers); patch scratch only for the ones
-    # whose input is not pre-packed
+    # excl. separated-phase/dy-packed layers); patch scratch only for
+    # the ones whose input is not pre-packed
     n_mxu = n_layers if mm_last else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
-        li for li in range(n_mxu) if fs[li] > 1 and li not in sep)}
+        li for li in range(n_mxu)
+        if fs[li] > 1 and li not in sep and li not in dyp)}
     pp_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
         if fs[li] > 1 and li not in prepack)}
@@ -627,6 +655,50 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
                         ).astype(act_dt))
+                continue
+
+            if li in dyp:
+                # ---- dy-packed dot (small-n middle layers) ----
+                # One all-phase-layout matmul per chunk over m+f−1
+                # operand rows: Y[r, dy·n:(dy+1)·n] = P[c0+r] @ w[dy],
+                # then out[i] = Σ_dy Y[i+dy, dy-block] combined directly
+                # on the dot-result VALUES (f static row/lane slices) —
+                # no Z scratch or round-trip, ⌈f·n/128⌉ MXU passes vs
+                # sep's f (see _dypack_layers). The prepacked input ref
+                # holds patch rows 0..oh+f−2, so the extended operand
+                # window is a plain row range; chunks are independent.
+                fk = f * k
+                for c0 in range(0, oh, ch):
+                    ce = min(c0 + ch, oh)
+                    m = ce - c0
+                    mext = m + f - 1
+                    if "mid_dot" not in _DEBUG_SKIP:
+                        yp = jnp.dot(
+                            src[c0 : c0 + mext, 0:ow, 0:fk]
+                            .reshape(mext * ow, fk),
+                            w_ref[...],
+                            preferred_element_type=jnp.float32,
+                        ).reshape(mext, ow, f * n)
+                        y = yp[0:m, :, 0:n]
+                        for dy in range(1, f):
+                            y = y + jax.lax.slice(
+                                yp, (dy, 0, dy * n),
+                                (dy + m, ow, (dy + 1) * n))
+                    else:  # triage: store-side cost only (see sep)
+                        y = jnp.broadcast_to(
+                            src[c0 : c0 + 1, 0:1, 0:1]
+                            .astype(jnp.float32).reshape(1, 1, 1),
+                            (m, ow, n))
+                    yv = jnp.maximum(y + b_ref[...], 0.0).astype(act_dt)
+                    if "mid_combine" in _DEBUG_SKIP:
+                        continue  # triage (combine is fused: ≙ store)
+                    if "mid_store" in _DEBUG_SKIP:  # triage-only gate
+                        act_refs[li][c0 : c0 + 1] = jnp.broadcast_to(
+                            jnp.max(yv.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                            (1,) + act_refs[li].shape[1:])
+                    else:
+                        store_act(li, c0, ce, yv)
                 continue
 
             if li in sep:
@@ -1076,7 +1148,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   mm_last: bool | None = None,
                   sep_max_n: int | None = None,
                   l1_rows: int = 16,
-                  pipe_combine: bool = True):
+                  pipe_combine: bool = True,
+                  dypack_max_n: int | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1188,11 +1261,22 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # patch first-layer forms.
     if sep_max_n is None:
         sep_max_n = 128
+    # dy-packed small-n middles (see _dypack_layers): None = auto = 0
+    # (off) pending on-chip measurement (tools/dypack_probe.py); dyp
+    # layers leave the sep set and keep the DEFAULT all-phase weight
+    # layout, so the prep exclusion below must mirror the kernel's set
+    # arithmetic.
+    if dypack_max_n is None:
+        dypack_max_n = 0
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
-    sep_prep_fold = frozenset(li - 1 for li in sep_fold)
-    sep_prep_tail = _sep_layers(tail_dims, len(params) - 1,
-                                prepack_max_deep, sep_max_n)
+    dyp_fold = _dypack_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
+                              len(params), prepack_max_deep, dypack_max_n)
+    sep_prep_fold = frozenset(li - 1 for li in sep_fold - dyp_fold)
+    sep_prep_tail = (
+        _sep_layers(tail_dims, len(params) - 1, prepack_max_deep, sep_max_n)
+        - _dypack_layers(tail_dims, len(params) - 1, prepack_max_deep,
+                         dypack_max_n))
     l1_gpack = 1
     l1_plane = l1_f = 0
     if plane_input is None:
@@ -1296,7 +1380,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            l1_rows=l1_rows,
                            prepack_max_deep=prepack_max_deep,
                            mm_last=mm_last, sep_max_n=sep_max_n,
-                           pipe_combine=pipe_combine)
+                           pipe_combine=pipe_combine,
+                           dypack_max_n=dypack_max_n)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -116,6 +116,23 @@ def test_bucketed_upscale_identical_to_exact():
         np.testing.assert_array_equal(bucketed, exact, err_msg=f"shape {h}x{w}")
 
 
+def test_bucketed_upscale_squared_mean_quirk():
+    """The binary-compat quirk (subtract_squared_mean) through the
+    BUCKETED path: its masked-mean variant must square under the mask
+    and still match the exact program byte-for-byte."""
+    cfg = parse_config({**CFG, "subtract_squared_mean": True})
+    params = random_parameters(cfg.layer_specs(), cfg.distributions, seed=4)
+    rng = np.random.default_rng(6)
+    for h, w in [(30, 37), (41, 70)]:
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        exact = upscale_image(cfg, params, rgba)
+        bucketed = upscale_image(cfg, params, rgba, bucket=64)
+        np.testing.assert_array_equal(bucketed, exact, err_msg=f"{h}x{w}")
+        # and it must differ from the non-quirk output (flag is live)
+        plain = upscale_image(parse_config(CFG), params, rgba)
+        assert np.any(plain != exact)
+
+
 def test_rgb_bucketed_upscale_identical():
     raw = {
         "channels": 3,

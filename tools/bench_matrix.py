@@ -256,6 +256,34 @@ def main():
     _emit("6_serving_batch8_540p", 8 * 540 * 960 / dt / 1e6, "MPix/s",
           "8-image fused dispatch (tools/serve.py queue geometry)")
 
+    # --- 7 (extra, serving-shaped): RGB batching — the 7-layer RGB
+    # model, 4x540p frames per fused dispatch (the family where
+    # per-dispatch overhead mattered most; was a per-image loop) ---
+    from cnn_sr_tpu.api import _upscale_rgb_batch_jit
+
+    batch4 = jnp.asarray(
+        rng.integers(0, 256, (4, 540, 960, 4), dtype=np.uint8))
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chained_r(b, length):
+        def body(c, _):
+            y = _upscale_rgb_batch_jit(params7, c, use_pallas=True)
+            return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
+        c, _ = jax.lax.scan(body, b, None, length=length)
+        return c
+
+    def timed_r(length):
+        t0 = time.perf_counter()
+        _ = np.asarray(chained_r(batch4, length)[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    timed_r(4), timed_r(20)  # compile
+    t1 = min(timed_r(4), timed_r(4))
+    t2 = min(timed_r(20), timed_r(20))
+    dt = t2 / 20 if t2 <= t1 else (t2 - t1) / 16
+    _emit("7_serving_rgb_batch4_540p", 4 * 540 * 960 / dt / 1e6, "MPix/s",
+          "4-image fused RGB dispatch (waifu2x 7-layer; was per-image)")
+
     if cli.json:
         for row in _ROWS:
             # vs_baseline: 50 MPix/s/chip target for inference rows,
