@@ -65,6 +65,16 @@ def main(argv=None) -> int:
             print(f"{secs:8.4f}s ({pct:5.2f}%) x{count:<5d} - {name[:65]}")
         print(f"Time in measured stages: {total:.4f}s "
               f"({total * 100 / dt:.2f}% of wall clock)")
+        # re-print the CLI's ranked per-op device-time table (the
+        # reference profile.py per-kernel shares) verbatim
+        in_ops = False
+        for line in proc.stdout.splitlines():
+            if line.startswith("---- op profile"):
+                in_ops = True
+            if in_ops:
+                print(line)
+            if in_ops and line.startswith("Total device op time"):
+                in_ops = False
     return 0
 
 
