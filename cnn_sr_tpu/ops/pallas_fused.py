@@ -151,6 +151,65 @@ def _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n):
         li for li in elig if -(-fs[li] * ns[li] // 128) < fs[li])
 
 
+# Packed-row (xpack) kernel mode: G consecutive activation ROWS per
+# 128-lane group. Measured rationale in tools/xpack_probe2.py (packed
+# dots beat sep 17-24% at every RGB small-n shape, the 64-lane-offset
+# operand read is free, a 192-lane contraction lowers cleanly).
+_XPACK_G = 4
+
+
+def _xpack_pj(n: int) -> int:
+    """Output rows per 128-lane out-chunk for an xpack layer with n
+    output channels: P = min(G, 128//n) q-rows pack into one chunk
+    (n ≥ 128 → 1). G is divisible by every P (1/2/4), so a layer always
+    emits nj = G//P chunks."""
+    return max(1, min(_XPACK_G, 128 // n))
+
+
+def _xpack_stack(dims, n_layers: int, mm_last: bool) -> bool:
+    """Stack-wide xpack eligibility. The packed-row representation must
+    hold from the first tail layer to the output (un-grouping rows
+    mid-stream needs strided stores Mosaic has no good form for), so
+    ALL of: an f==1 entry layer (folded/plane first layer), every later
+    layer f==3 (slots = G+f−1 = 6), and the last layer on the MXU
+    (``mm_last`` — the VPU last layer needs flat f32 rows)."""
+    fs = [d[0] for d in dims]
+    return (
+        mm_last
+        and n_layers >= 3
+        and fs[0] == 1
+        and all(f == 3 for f in fs[1:])
+    )
+
+
+def _xpack_weights(w, dtype):
+    """Banded xpack weights for one (f, f, k, n) HWIO layer.
+
+    The packed input ref holds X[g, x, p·k+c] = act[G·g+p, x, c]
+    (p ∈ 0..G+f−2); out-chunk j computes rows q_abs = j·P+q_rel at
+    lane q_rel·n+cn from input slots p_abs = j·P+p_rel. Since
+    p_abs−q_abs == p_rel−q_rel, ONE banded matrix per dx serves every
+    chunk: W_dx[(p,c),(q,cn)] = w[dy=p−q, dx, c, cn] for 0 ≤ p−q < f,
+    else 0 — i.e. column block q is w[:,dx] reshaped (f·k, n) sunk q·k
+    rows. Returns (f·(P+f−1)·k, P·n) with dx blocks stacked on rows;
+    the dy sum rides the band, so there is no Z scratch and no phase
+    combine. Derivation + microbenchmarks: tools/xpack_probe2.py."""
+    f, _, k, n = w.shape
+    pj = _xpack_pj(n)
+    blocks = [
+        jnp.concatenate(
+            [
+                jnp.pad(w[:, dx].reshape(f * k, n),
+                        ((q * k, (pj - 1 - q) * k), (0, 0)))
+                for q in range(pj)
+            ],
+            axis=1,
+        )
+        for dx in range(f)
+    ]
+    return jnp.concatenate(blocks, axis=0).astype(dtype)
+
+
 def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
                  l1_gpack: int = 1, l1_dstep: int = 0):
     """Bottom/right padding _fused_tail_single would apply to an (h, w)
