@@ -299,7 +299,7 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
-                     "pipe_combine", "dypack_max_n"),
+                     "pipe_combine", "dypack_max_n", "xpack"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -311,7 +311,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        prepack_max_deep: int = 384,
                        mm_last: bool = False, sep_max_n: int = 0,
                        pipe_combine: bool = True,
-                       dypack_max_n: int = 0):
+                       dypack_max_n: int = 0,
+                       xpack: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -516,6 +517,18 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         li for li in pz_idx
         if n_layers <= 4 or (mm_last and li == n_layers - 1)
     ) if pipe_combine else frozenset()
+    # Packed-row mode (see _xpack_weights / tools/xpack_probe2.py):
+    # every tail layer runs banded per-(j, dx) dots over packed-group
+    # refs — no Z scratch, no patch scratch, no prepack copies, no
+    # phase combine; outputs leave the kernel as (gh, G, W) blocks.
+    xp = xpack and _xpack_stack(dims, n_layers, mm_last)
+    if xp:
+        dyp = frozenset()
+        sep = frozenset()
+        prepack = frozenset()
+        pz_idx = {}
+        pp_idx = {}
+        pipe_z = frozenset()
 
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
@@ -586,6 +599,25 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     :, c : c + wout, :
                 ]
 
+        def xp_zero_tail_slots(li, oh_rows):
+            # xpack producers leave slot lanes whose row ≥ oh_rows
+            # unwritten (they only feed garbage q's) — but the banded
+            # dot contracts the FULL slot window and 0·NaN = NaN, so
+            # uninitialized VMEM there would poison the last valid
+            # rows. Statically zero the (≤ G+f₂−1 per tile) tail slots.
+            n = ns[li]
+            f2 = fs[li + 1]
+            gh = -(-oh_rows // _XPACK_G)
+            for g_t in (gh - 2, gh - 1):
+                if g_t < 0:
+                    continue
+                for p_t in range(_XPACK_G + f2 - 1):
+                    if _XPACK_G * g_t + p_t >= oh_rows:
+                        act_refs[li][
+                            g_t, :, p_t * n : (p_t + 1) * n
+                        ] = jnp.zeros(
+                            (act_refs[li].shape[1], n), act_dts[li])
+
         # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
         # patch buffer of height ph=oh+f−1 is built (f static stores).
@@ -630,6 +662,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     cnt, wtgt = fs[li + 1], ws[li + 2]
                 else:
                     cnt, wtgt = 1, ws[li + 1]
+                if xp:
+                    xp_zero_tail_slots(li, oh)
                 for r8 in range(0, oh, l1_r):
                     rows = min(l1_r, oh - r8)
                     for wb in range(nblk):
@@ -664,6 +698,29 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                 .reshape(1, 1, 1).astype(act_dt),
                                 (1,) + act_refs[li].shape[1:])
                             continue
+                        if xp:
+                            # packed-row store: row y lands at
+                            # (g=y//G, p=y%G) and, for p ≤ f₂−2, also
+                            # at (g−1, p=y%G+G) — 1-2 slab stores per
+                            # row vs the prepack path's f₂ copies
+                            gG, f2 = _XPACK_G, fs[1]
+                            x1 = min(wc + 128, wtgt)
+                            if x1 <= wc:
+                                continue
+                            for r in range(rows):
+                                slab = yb[0 : x1 - wc,
+                                          r * n : (r + 1) * n]
+                                y0 = r8 + r
+                                tgts = [(y0 // gG, y0 % gG)]
+                                if y0 % gG <= f2 - 2 and y0 >= gG:
+                                    tgts.append(
+                                        (y0 // gG - 1, y0 % gG + gG))
+                                for g_t, p_t in tgts:
+                                    act_refs[li][
+                                        g_t, wc:x1,
+                                        p_t * n : (p_t + 1) * n
+                                    ] = slab
+                            continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
                             # matches the act ref's (W, C) tile layout
@@ -690,6 +747,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # the per-dy-group weight slabs, accumulated in f32
                 kk = c_pad if li == 0 else ks[li]
                 gcnt = l1_gpack if li == 0 else 1
+                if xp:
+                    xp_zero_tail_slots(li, oh)
                 for c0 in range(0, oh, ch):
                     ce = min(c0 + ch, oh)
                     y = None
@@ -706,14 +765,142 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         y = yg if y is None else y + yg
                     if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1] = jnp.broadcast_to(
+                        act_refs[li][0:1] = jnp.broadcast_to(
                             jnp.max(y.astype(jnp.float32))
                                 .reshape(1, 1, 1).astype(act_dt),
                             (1,) + act_refs[li].shape[1:])
+                    elif xp:
+                        # packed-row store: a (m//G, G, ow, n) reshape
+                        # turns row parity into a STATIC index (no
+                        # strided slicing); boundary slots G+t of group
+                        # g−1 take rows ≡ t (mod G); the ≤G−1 ragged
+                        # tail rows store individually
+                        yv = jnp.maximum(
+                            y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
+                        ).astype(act_dt)
+                        gG, f2 = _XPACK_G, fs[1]
+                        g0 = c0 // gG
+                        m4 = (ce - c0) // gG * gG
+                        if m4:
+                            yr = yv[0:m4].reshape(m4 // gG, gG, ow, n)
+                            for p_t in range(gG):
+                                act_refs[li][
+                                    g0 : g0 + m4 // gG, :,
+                                    p_t * n : (p_t + 1) * n
+                                ] = yr[:, p_t]
+                            for t in range(f2 - 1):
+                                blk = yr[:, t]
+                                pt = (gG + t) * n
+                                if g0 == 0:
+                                    if m4 // gG > 1:
+                                        act_refs[li][
+                                            0 : m4 // gG - 1, :,
+                                            pt : pt + n] = blk[1:]
+                                else:
+                                    act_refs[li][
+                                        g0 - 1 : g0 - 1 + m4 // gG, :,
+                                        pt : pt + n] = blk
+                        for i in range(m4, ce - c0):
+                            y0 = c0 + i
+                            row = yv[i]
+                            act_refs[li][
+                                y0 // gG, :,
+                                (y0 % gG) * n : (y0 % gG + 1) * n
+                            ] = row
+                            if y0 % gG <= f2 - 2 and y0 >= gG:
+                                pt = (y0 % gG + gG) * n
+                                act_refs[li][y0 // gG - 1, :,
+                                             pt : pt + n] = row
                     else:
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
                         ).astype(act_dt))
+                continue
+
+            if xp:
+                # ---- packed-row (xpack) layer: banded per-(j,dx) dots
+                # over packed-group operands (see _xpack_weights /
+                # tools/xpack_probe2.py). Out-chunk j emits rows
+                # q = j·P..j·P+P−1 at lane (q_rel·n + cn) from input
+                # slots j·P..j·P+P+f−2 — the dy sum rides the weight
+                # band, so there is no Z scratch and no phase combine;
+                # the last layer extracts its (q, cn) lanes by masked
+                # reduction straight into the (gh, G, W) out blocks.
+                gG = _XPACK_G
+                pj = _xpack_pj(n)
+                nj = gG // pj
+                lw = (pj + f - 1) * k
+                oh_g = -(-oh // gG)
+                gch = max(1, ch // gG)
+                last = li == n_layers - 1
+                f2 = fs[li + 1] if not last else 0
+                if not last:
+                    xp_zero_tail_slots(li, oh)
+                for g0 in range(0, oh_g, gch):
+                    ge = min(g0 + gch, oh_g)
+                    m_g = ge - g0
+                    for j in range(nj):
+                        l0 = j * pj * k
+                        if "mid_dot" not in _DEBUG_SKIP:
+                            acc = None
+                            for dx in range(f):
+                                yg = jnp.dot(
+                                    src[g0:ge, dx : dx + ow,
+                                        l0 : l0 + lw]
+                                    .reshape(m_g * ow, lw),
+                                    w_ref[dx * lw : (dx + 1) * lw],
+                                    preferred_element_type=jnp.float32,
+                                )
+                                acc = yg if acc is None else acc + yg
+                        else:  # triage: input-dependent broadcast
+                            acc = jnp.broadcast_to(
+                                src[g0 : g0 + 1, 0:1, 0:1]
+                                .astype(jnp.float32).reshape(1, 1),
+                                (m_g * ow, pj * n))
+                        acc = acc.reshape(m_g, ow, pj * n)
+                        if last:
+                            # linear (no ReLU — the reference's layer L,
+                            # ConfigBasedDataPipeline.cpp:66); bias adds
+                            # post-extraction per channel
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (m_g, ow, pj * n), 2)
+                            for cn in range(n):
+                                for q in range(pj):
+                                    val = jnp.sum(
+                                        jnp.where(lane == q * n + cn,
+                                                  acc, 0.0),
+                                        axis=-1) + b_ref[cn]
+                                    out_refs[cn][g0:ge, q, :] = (
+                                        val[:, 0:tile_w])
+                            continue
+                        yv = jnp.maximum(
+                            acc + jnp.tile(b_ref[...], pj), 0.0
+                        ).astype(act_dt)
+                        if "mid_store" in _DEBUG_SKIP:  # triage-only
+                            act_refs[li][0:1] = jnp.broadcast_to(
+                                jnp.max(yv.astype(jnp.float32))
+                                .reshape(1, 1, 1).astype(act_dt),
+                                (1,) + act_refs[li].shape[1:])
+                            continue
+                        # chain store: main slots are a direct lane
+                        # copy; boundary slots G+t of group g−1 take
+                        # q_abs = t of group g (t's chunk only)
+                        act_refs[li][
+                            g0:ge, 0:ow, j * pj * n : (j * pj + pj) * n
+                        ] = yv
+                        for t in range(f2 - 1):
+                            if t // pj != j:
+                                continue
+                            qr = t - (t // pj) * pj
+                            blk = yv[:, :, qr * n : (qr + 1) * n]
+                            pt = (gG + t) * n
+                            if g0 == 0:
+                                if m_g > 1:
+                                    act_refs[li][0 : ge - 1, 0:ow,
+                                                 pt : pt + n] = blk[1:]
+                            else:
+                                act_refs[li][g0 - 1 : ge - 1, 0:ow,
+                                             pt : pt + n] = blk
                 continue
 
             if li in dyp:
@@ -993,7 +1180,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # the ref's lane pad to 128 was already paid; a pre-packed
         # producer stores the consumer's patches outright: f·n lanes at
         # the consumer's output width
-        if li + 1 in prepack:
+        if xp:
+            # packed-group ref: ⌈rows/G⌉ group rows ×
+            # (G + f₂ − 1) slot-lane blocks — about half the flat
+            # ref's bytes (6 slot lanes per 4 rows vs f₂ = 3 copies)
+            shape = (-(-hs[li + 1] // _XPACK_G), ws[li + 1],
+                     (_XPACK_G + fs[li + 1] - 1) * ns[li])
+        elif li + 1 in prepack:
             shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
         else:
             lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
@@ -1019,10 +1212,21 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers),
         out_specs=[
+            # xpack: outputs stay in packed-row space — (gh, G, W)
+            # blocks with q a STATIC middle index; one XLA reshape
+            # below un-groups rows (cheap relative to strided stores)
+            pl.BlockSpec((tile_h // _XPACK_G, _XPACK_G, tile_w),
+                         lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+            if xp else
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
         ] * n_out,
         out_shape=[
+            jax.ShapeDtypeStruct(
+                (grid[0] * (tile_h // _XPACK_G), _XPACK_G,
+                 grid[1] * tile_w), jnp.float32)
+            if xp else
             jax.ShapeDtypeStruct((grid[0] * tile_h, grid[1] * tile_w),
                                  jnp.float32)
         ] * n_out,
@@ -1035,6 +1239,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ),
         interpret=interpret,
     )(ap, *wbs)
+    if xp:
+        # un-group (gh, G, W) → rows: (g, q) is row-major in y
+        out = [o.reshape(o.shape[0] * _XPACK_G, o.shape[2])
+               for o in out]
     if n_out == 1:
         return out[0][:out_h, :out_w][..., None]
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
@@ -1133,6 +1341,7 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
 def _prepare_tail_weights(params, dtype, pack_last: int = 1,
                           mm_last: bool = False,
                           sep_prep: frozenset = frozenset(),
+                          xpack: bool = False,
                           ) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
     (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n),
@@ -1149,7 +1358,11 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if li in sep_prep and li != n_layers - 1:
+        if xpack:
+            # packed-row mode: every tail layer (last included) takes
+            # the banded per-dx layout (see _xpack_weights)
+            wbs.append(_xpack_weights(w, dtype))
+        elif li in sep_prep and li != n_layers - 1:
             wbs.append(w.reshape(f * f * k, n).astype(dtype))
         elif li == n_layers - 1 and mm_last:
             wbs.append(
@@ -1208,7 +1421,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   sep_max_n: int | None = None,
                   l1_rows: int = 16,
                   pipe_combine: bool = True,
-                  dypack_max_n: int | None = None):
+                  dypack_max_n: int | None = None,
+                  xpack: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1310,6 +1524,20 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
     )
+    # packed-row mode (see _xpack_weights / tools/xpack_probe2.py):
+    # None = auto = off pending on-chip measurement. Requires a folded
+    # or plane first layer (kpack ≤ 256 keeps it out of the XLA-conv1
+    # fallback), an all-f==3 tail, and the last layer on the MXU — the
+    # wrapper forces mm_last on (xpack's last layer needs no prepack,
+    # so the deep-stack eligibility check above does not apply).
+    if xpack is None:
+        xpack = False
+    xpack = bool(xpack) and kpack <= 256 and _xpack_stack(
+        ((1, kpack, n1),) + tail_dims, len(params), True)
+    if xpack:
+        mm_last = True
+        pack_last = 1
+        l1_dstep = 0  # dy-packed entry: incompatible with group stores
     # separated-phase f==3 middle layers (see _sep_layers): None = auto
     # = 128, i.e. every eligible layer — measured a monotone win on the
     # 7-layer RGB stack and a no-op on f≠3 middles like the flagship's
@@ -1360,7 +1588,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         win_dt = jnp.int8 if use_int8 else jnp.float32
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8, l1_rows)
         wbs = [h_w, b8] + _prepare_tail_weights(
-            params[1:], dtype, pack_last, mm_last, sep_prep_fold)
+            params[1:], dtype, pack_last, mm_last, sep_prep_fold,
+            xpack=xpack)
         l1_s = _plane_rows(l1_rows, f1)[1]
         dims = ((1, c1 * f1 * l1_s, n1),) + tail_dims
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
@@ -1407,7 +1636,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
         wbs += _prepare_tail_weights(params[1:], dtype, pack_last,
-                                     mm_last, sep_prep_fold)
+                                     mm_last, sep_prep_fold,
+                                     xpack=xpack)
         # build the patch array directly at the kernel's padded window
         # geometry: kills the tail's full-array pad copy (~2.85 ms/frame
         # measured on the flagship — see _window_pads)
@@ -1426,6 +1656,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
+        xpack = False  # kernel layer 0 is f==3 here: no packed entry
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last,
                                     mm_last, sep_prep_tail)
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
@@ -1440,7 +1671,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            prepack_max_deep=prepack_max_deep,
                            mm_last=mm_last, sep_max_n=sep_max_n,
                            pipe_combine=pipe_combine,
-                           dypack_max_n=dypack_max_n)
+                           dypack_max_n=dypack_max_n, xpack=xpack)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

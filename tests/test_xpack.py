@@ -134,3 +134,85 @@ def test_xpack_two_layer_chain_matches_oracle():
     got = unpack_rows(xpack_layer_numpy(x2, w2, b2, True, oh2, ow2),
                       oh2, n2)[:, :ow2]
     np.testing.assert_allclose(got, ref[:oh2], rtol=1e-4, atol=1e-4)
+
+
+# ---- fused-kernel parity (interpret mode) ----
+
+import jax.numpy as jnp  # noqa: E402
+
+from cnn_sr_tpu.models import forward  # noqa: E402
+from cnn_sr_tpu.ops.pallas_fused import fused_forward  # noqa: E402
+
+
+def _params(rng, specs):
+    return [
+        {
+            "w": jnp.asarray(
+                rng.standard_normal((f, f, k, n)).astype(np.float32)
+                * 0.1),
+            "b": jnp.asarray(
+                rng.standard_normal((n,)).astype(np.float32) * 0.05),
+        }
+        for (f, k, n) in specs
+    ]
+
+
+@pytest.mark.parametrize("h,w", [(44, 150), (57, 131)])
+def test_xpack_kernel_matches_xla_3layer(h, w):
+    """Folded f==1 entry (group-reshape store) + one packed middle +
+    packed last layer with masked (q, cn) extraction — vs the XLA
+    path, exact in f32."""
+    rng = np.random.default_rng(0)
+    params = _params(rng, [(3, 1, 8), (3, 8, 8), (3, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, h, w, 1)).astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128,
+                      dtype=jnp.float32, xpack=True)
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_xpack_kernel_rgb_stack_bf16_and_f32():
+    """RGB-shaped mini stack (3 in/out channels, n covering all three
+    production pj classes 4/2/1) across ragged group tails."""
+    rng = np.random.default_rng(1)
+    params = _params(rng, [(3, 3, 8), (3, 8, 16), (3, 16, 32),
+                           (3, 32, 3)])
+    x = jnp.asarray(rng.standard_normal((1, 45, 140, 3))
+                    .astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128,
+                      dtype=jnp.float32, xpack=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    yb = fused_forward(params, x, tile_h=16, tile_w=128, xpack=True)
+    assert float(jnp.abs(yb - y_ref).max()) < 0.05
+
+
+def test_xpack_kernel_plane_entry():
+    """Raw-plane first layer storing straight into the packed ref
+    (per-row slab targets (g, p) instead of f₂ dx-copies)."""
+    rng = np.random.default_rng(2)
+    params = _params(rng, [(3, 1, 8), (3, 8, 8), (3, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 150, 1))
+                    .astype(np.float32))
+    y_ref = forward(params, x)
+    y = fused_forward(params, x, tile_h=16, tile_w=128,
+                      dtype=jnp.float32, xpack=True, plane_input=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_xpack_ineligible_stacks_fall_back():
+    """xpack=True on a non-f3 tail (flagship shape) must quietly keep
+    the default machinery — identical output to xpack=False."""
+    rng = np.random.default_rng(3)
+    params = _params(rng, [(9, 1, 8), (5, 8, 8), (5, 8, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 150, 1))
+                    .astype(np.float32))
+    y0 = fused_forward(params, x, tile_h=16, tile_w=128,
+                       dtype=jnp.float32)
+    y1 = fused_forward(params, x, tile_h=16, tile_w=128,
+                       dtype=jnp.float32, xpack=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
