@@ -692,8 +692,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         yb = jnp.maximum(yb + b_ref[...], 0.0).astype(act_dt)
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
                             # full-row store: (1,1,1) stores into packed
-                            # bf16 refs fail Mosaic lowering
-                            act_refs[li][r8 : r8 + 1] = jnp.broadcast_to(
+                            # bf16 refs fail Mosaic lowering (xp refs
+                            # hold group rows — r8//G keeps it in range)
+                            r_t = r8 // _XPACK_G if xp else r8
+                            act_refs[li][r_t : r_t + 1] = jnp.broadcast_to(
                                 jnp.max(yb.astype(jnp.float32))
                                 .reshape(1, 1, 1).astype(act_dt),
                                 (1,) + act_refs[li].shape[1:])
