@@ -90,19 +90,22 @@ def main(argv=None) -> int:
     dt = jnp.bfloat16
     F = 3
 
-    def sep_body(k, n):
+    def sep_body(k, n, inner=1):
         fk = F * k
 
         def body(a_ref, w_ref, out_ref):
-            y = None
-            for dy in range(F):
-                yg = jax.lax.dot_general(
-                    a_ref[dy : dy + CH, 0:OW, 0:fk].reshape(CH * OW, fk),
-                    w_ref[dy * fk : (dy + 1) * fk],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                y = yg if y is None else y + yg
-            out_ref[0:CH] = jnp.maximum(y.reshape(CH, OW, n), 0.0).astype(dt)
+            for _ in range(inner):
+                y = None
+                for dy in range(F):
+                    yg = jax.lax.dot_general(
+                        a_ref[dy : dy + CH, 0:OW, 0:fk]
+                        .reshape(CH * OW, fk),
+                        w_ref[dy * fk : (dy + 1) * fk],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    y = yg if y is None else y + yg
+                out_ref[0:CH] = jnp.maximum(
+                    y.reshape(CH, OW, n), 0.0).astype(dt)
         return body
 
     # ---- Winograd helpers (shared by both wino variants) ----
@@ -115,60 +118,132 @@ def main(argv=None) -> int:
                 ys[pq] = m * c if ys[pq] is None else ys[pq] + m * c
         return ys
 
-    def store_y(ys, out_ref, n):
+    def store_y(ys, out_ref, n, t0):
         # out_ref parity layout: (2, 2, TR, TC, n); Y[p,q][t] is the
         # output pixel (2i+p, 2j+q) -> plane (p, q) row i col j.
         for pq in range(4):
-            out_ref[pq // 2, pq % 2] = jnp.maximum(
-                ys[pq].reshape(TR, TC, n), 0.0).astype(dt)
+            out_ref[pq // 2, pq % 2, t0 : t0 + TRG] = jnp.maximum(
+                ys[pq].reshape(-1, TC, n), 0.0).astype(dt)
 
-    def winoD_body(k, n):
+    # tile-row group size: bounds the f32 accumulator live set (4 x
+    # TRG*TC*n f32 must fit scoped VMEM with the dot transients — a
+    # whole-chunk TR=12 group OOMed at k=n=128, 18.7M > 16M limit)
+    TRG = 6
+
+    def winoD_body(k, n, inner=1):
         # a_ref: (16, T, k) pre-materialized V planes
         def body(a_ref, w_ref, out_ref):
-            ys = [None] * 4
-            for pos in range(16):
-                m = jax.lax.dot_general(
-                    a_ref[pos], w_ref[pos * k : (pos + 1) * k],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ys = accum_y(ys, pos // 4, pos % 4, m)
-            store_y(ys, out_ref, n)
+            for t0 in list(range(0, TR, TRG)) * inner:
+                ys = [None] * 4
+                for pos in range(16):
+                    m = jax.lax.dot_general(
+                        a_ref[pos, t0 * TC : (t0 + TRG) * TC],
+                        w_ref[pos * k : (pos + 1) * k],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ys = accum_y(ys, pos // 4, pos % 4, m)
+                store_y(ys, out_ref, n, t0)
         return body
 
-    def wino_body(k, n):
+    def wino_body(k, n, inner=1):
         # a_ref parity layout: (2, RH, CWP, 2k); input rows 0..25 ->
         # plane r%2 row r//2; input cols 0..257 -> sublane c//2, lane
         # group (c%2)*k. Tap d[2i+a, 2j+b] = plane[a%2][a//2 + i,
         # b//2 + j, (b%2)k : (b%2+1)k] — contiguous rows, sublane
         # offset b//2, k-aligned lanes.
-        def tap(a_ref, i_off, j_off):
+        def tap(a_ref, i_off, j_off, t0):
             a, b = i_off, j_off
-            return a_ref[a % 2, a // 2 : a // 2 + TR,
+            r0 = a // 2 + t0
+            return a_ref[a % 2, r0 : r0 + TRG,
                          b // 2 : b // 2 + TC,
                          (b % 2) * k : (b % 2 + 1) * k]
 
         def body(a_ref, w_ref, out_ref):
-            ys = [None] * 4
-            for pos in range(16):
-                pa, pb = pos // 4, pos % 4
-                v = None
-                for i in range(4):
-                    ci = BT[pa, i]
-                    if ci == 0:
-                        continue
-                    for j in range(4):
-                        c = ci * BT[pb, j]
-                        if c == 0:
+            for t0 in list(range(0, TR, TRG)) * inner:
+                ys = [None] * 4
+                for pos in range(16):
+                    pa, pb = pos // 4, pos % 4
+                    v = None
+                    for i in range(4):
+                        ci = BT[pa, i]
+                        if ci == 0:
                             continue
-                        d = tap(a_ref, i, j)
-                        t = d if c > 0 else -d
-                        v = t if v is None else v + t
-                m = jax.lax.dot_general(
-                    v.reshape(T, k), w_ref[pos * k : (pos + 1) * k],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ys = accum_y(ys, pa, pb, m)
-            store_y(ys, out_ref, n)
+                        for j in range(4):
+                            c = ci * BT[pb, j]
+                            if c == 0:
+                                continue
+                            d = tap(a_ref, i, j, t0)
+                            t = d if c > 0 else -d
+                            v = t if v is None else v + t
+                    m = jax.lax.dot_general(
+                        v.reshape(TRG * TC, k),
+                        w_ref[pos * k : (pos + 1) * k],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ys = accum_y(ys, pa, pb, m)
+                store_y(ys, out_ref, n, t0)
+        return body
+
+    def winoF_body(k, n, inner=1):
+        # factored transform: R[a][jb] = B^T-row combos of the row
+        # taps (16 single adds, 16 tap reads), then V[a][b] = column
+        # combos of R (16 single adds) — vs the direct form's 48 adds
+        # and 64 reads. Same parity a_ref layout as wino_body.
+        def tap(a_ref, i_off, j_off, t0):
+            a, b = i_off, j_off
+            r0 = a // 2 + t0
+            return a_ref[a % 2, r0 : r0 + TRG,
+                         b // 2 : b // 2 + TC,
+                         (b % 2) * k : (b % 2 + 1) * k]
+
+        def body(a_ref, w_ref, out_ref):
+            for t0 in list(range(0, TR, TRG)) * inner:
+                ys = [None] * 4
+                for pa in range(4):
+                    i1, i2 = [i for i in range(4) if BT[pa, i] != 0]
+                    rs = []
+                    for jb in range(4):
+                        d1 = tap(a_ref, i1, jb, t0)
+                        d2 = tap(a_ref, i2, jb, t0)
+                        d1 = d1 if BT[pa, i1] > 0 else -d1
+                        rs.append(d1 + d2 if BT[pa, i2] > 0 else d1 - d2)
+                    for pb in range(4):
+                        j1, j2 = [j for j in range(4) if BT[pb, j] != 0]
+                        v = (rs[j1] if BT[pb, j1] > 0 else -rs[j1])
+                        v = v + rs[j2] if BT[pb, j2] > 0 else v - rs[j2]
+                        pos = pa * 4 + pb
+                        m = jax.lax.dot_general(
+                            v.reshape(TRG * TC, k),
+                            w_ref[pos * k : (pos + 1) * k],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        ys = accum_y(ys, pa, pb, m)
+                store_y(ys, out_ref, n, t0)
+        return body
+
+    def repack_body(k, n, inner=1):
+        # sep dots + PARITY-SPLIT store: the sep->wino boundary cost.
+        # Mosaic cannot strided-slice *values* (shape-changing gathers
+        # don't lower), but it does lower strided *ref* loads
+        # (tpu.strided_load) — for 32-bit data only, so the scratch
+        # stays f32 and the bf16 cast happens at the parity store.
+        fk = F * k
+
+        def body(a_ref, w_ref, out_ref, s_ref):
+            for _ in range(inner):
+                y = None
+                for dy in range(F):
+                    yg = jax.lax.dot_general(
+                        a_ref[dy : dy + CH, 0:OW, 0:fk]
+                        .reshape(CH * OW, fk),
+                        w_ref[dy * fk : (dy + 1) * fk],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    y = yg if y is None else y + yg
+                s_ref[...] = jnp.maximum(y.reshape(CH, OW, n), 0.0)
+                for p in range(2):
+                    for q in range(2):
+                        out_ref[p, q] = s_ref[p::2, q::2].astype(dt)
         return body
 
     # parity a_ref geometry: 26 input rows -> 13 per plane; 258 input
@@ -176,27 +251,43 @@ def main(argv=None) -> int:
     RH, CWP = 13, 144
 
     def specs(k, n, kind):
-        if kind == "sep":
-            return (CH + F - 1, OW + 8, F * k), (F * F * k, n), \
-                (CH, OW, n)
+        if kind in ("sep", "repack"):
+            out = (CH, OW, n) if kind == "sep" else (2, 2, TR, TC, n)
+            return (CH + F - 1, OW + 8, F * k), (F * F * k, n), out
         if kind == "winoD":
             return (16, T, k), (16 * k, n), (2, 2, TR, TC, n)
         return (2, RH, CWP, 2 * k), (16 * k, n), (2, 2, TR, TC, n)
 
+    BODIES = {"sep": sep_body, "winoD": winoD_body, "wino": wino_body,
+              "winoF": winoF_body, "repack": repack_body}
+    KINDS = ("sep", "winoD", "wino", "winoF", "repack")
+
     variants = []
-    for k in (64, 128):
-        n = 128
-        variants += [
-            (f"sep{k}", sep_body(k, n), specs(k, n, "sep")),
-            (f"winoD{k}", winoD_body(k, n), specs(k, n, "winoD")),
-            (f"wino{k}", wino_body(k, n), specs(k, n, "wino")),
-        ]
+    for k, n in ((64, 128), (128, 128), (128, 64)):
+        for inner in (1, 2):
+            sfx = "" if inner == 1 else "x2"
+            for kind in KINDS:
+                variants.append(
+                    (f"{kind}{k}.{n}{sfx}", BODIES[kind](k, n, inner),
+                     specs(k, n, "winoD" if kind == "winoD" else
+                           ("sep" if kind == "sep" else
+                            ("repack" if kind == "repack" else "wino")))))
+
+    if args.check:
+        # remote Pallas compiles run minutes each — build only the
+        # variants the checker drives (inner=1 wino/winoF/repack)
+        variants = [v for v in variants
+                    if not v[0].endswith("x2")
+                    and not v[0].startswith(("sep", "winoD"))]
 
     rng = np.random.default_rng(0)
     built = {}
     for name, body, (a_s, w_s, o_s) in variants:
         a = jnp.asarray(rng.random(a_s, np.float32) - 0.5, dt)
         w = jnp.asarray(rng.random(w_s, np.float32) - 0.5, dt)
+        n_out = o_s[-1]
+        scratch = ([pltpu.VMEM((CH, OW, n_out), jnp.float32)]
+                   if name.startswith("repack") else [])
         fn = pl.pallas_call(
             body,
             grid=(args.reps,),
@@ -204,6 +295,7 @@ def main(argv=None) -> int:
             out_specs=pl.BlockSpec(o_s, lambda *i, _n=len(o_s): (0,) * _n,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(o_s, dt),
+            scratch_shapes=scratch,
             interpret=jax.default_backend() == "cpu",
         )
         built[name] = (jax.jit(fn), a, w, o_s)
@@ -229,17 +321,20 @@ def main(argv=None) -> int:
         for name in results:
             us = bench(name)
             results[name].append(us)
-            print(f"rep {rep} {name:<9} {us:8.3f} us/chunk", flush=True)
-    print("\nbest-of-rounds (us per 24x256-output chunk):")
-    for name, vals in results.items():
-        print(f"{name:<9} {min(vals):8.3f}")
+            print(f"rep {rep} {name:<11} {us:8.3f} us/step", flush=True)
+    print("\nMARGINAL us per 24x256-output chunk (t_x2 - t_x1, "
+          "best-of-rounds each; cancels the flat per-step overhead):")
+    for k, n in ((64, 128), (128, 128), (128, 64)):
+        for kind in KINDS:
+            t1 = min(results[f"{kind}{k}.{n}"])
+            t2 = min(results[f"{kind}{k}.{n}x2"])
+            print(f"{kind}{k}.{n:<4} {t2 - t1:8.3f}")
     return 0
 
 
 def _check(built, rng, np, jnp, dt):
-    """One-step numeric check of the wino variants vs direct conv."""
-    for k in (64, 128):
-        n = 128
+    """One-step numeric check of the variants vs direct conv."""
+    for k, n in ((64, 128), (128, 128), (128, 64)):
         # one common activation block: 26 rows x 258 cols x k
         act = (rng.random((26, 258, k), np.float32) - 0.5).astype(np.float32)
         g = (rng.random((3, 3, k, n), np.float32) - 0.5).astype(np.float32)
@@ -252,6 +347,14 @@ def _check(built, rng, np, jnp, dt):
                     "rxk,kn->rxn",
                     a64[dy : dy + CH, dx : dx + OW], g[dy, dx])
         ref = np.maximum(ref, 0.0)
+        refmax = np.abs(ref).max()
+
+        def unparity(out):
+            y = np.zeros((CH, OW, n))
+            for p in range(2):
+                for q in range(2):
+                    y[p::2, q::2] = out[p, q, : CH // 2, : OW // 2]
+            return y
 
         # parity-split a_ref: (2, RH, CWP, 2k)
         RH, CWP = 13, 144
@@ -262,18 +365,28 @@ def _check(built, rng, np, jnp, dt):
                 pa[r % 2, r // 2, : cols.shape[0],
                    cpar * k : (cpar + 1) * k] = cols
         u = transform_weights(g, np.float32).reshape(16 * k, n)
-        jfn = built[f"wino{k}"][0]
-        out = np.asarray(jfn(jnp.asarray(pa, dt), jnp.asarray(u, dt)),
+        for kind in ("wino", "winoF"):
+            jfn = built[f"{kind}{k}.{n}"][0]
+            out = np.asarray(jfn(jnp.asarray(pa, dt), jnp.asarray(u, dt)),
+                             np.float64)
+            y = unparity(out)
+            err = np.abs(y - ref).max()
+            rel = err / max(refmax, 1e-9)
+            print(f"{kind}{k}.{n} check: max_abs={err:.4f} rel={rel:.4f} "
+                  f"(bf16 dots; ref_max={refmax:.2f})")
+
+        # repack: sep-layout inputs (dx pre-packed lanes), parity store
+        sa = np.zeros((CH + 2, OW + 8, 3 * k), np.float32)
+        for dx in range(3):
+            sa[:, :OW, dx * k : (dx + 1) * k] = act[:, dx : dx + OW]
+        sw = g.reshape(9 * k, n)
+        jfn = built[f"repack{k}.{n}"][0]
+        out = np.asarray(jfn(jnp.asarray(sa, dt), jnp.asarray(sw, dt)),
                          np.float64)
-        # un-parity: out[p, q, i, j] = y[2i+p, 2j+q]
-        y = np.zeros((CH, OW, n))
-        for p in range(2):
-            for q in range(2):
-                y[p::2, q::2] = out[p, q, : CH // 2, : OW // 2]
+        y = unparity(out)
         err = np.abs(y - ref).max()
-        rel = err / max(np.abs(ref).max(), 1e-9)
-        print(f"wino{k} check: max_abs={err:.4f} rel={rel:.4f} "
-              f"(bf16 dots; ref_max={np.abs(ref).max():.2f})")
+        print(f"repack{k}.{n} check: max_abs={err:.4f} "
+              f"rel={err / max(refmax, 1e-9):.4f}")
     return 0
 
 
