@@ -151,6 +151,88 @@ def _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n):
         li for li in elig if -(-fs[li] * ns[li] // 128) < fs[li])
 
 
+# Winograd F(2x2,3x3) layer mode (tools/winograd_probe.py): eligible
+# f==3 middle layers run 16 position-matmuls (tiles, k) @ (k, n) over
+# 2x2 output tiles — 16 multiplies per tile instead of the direct
+# form's 36 (2.25x fewer MACs, full MXU K-fill at k == 128). Measured
+# marginals at the RGB deep shapes (6-round interleaved, 2026-08-20):
+# (k,n)=(128,128) sep 9.94 vs winoF 4.46 us/chunk (-55%), (128,64)
+# -43%; k=64 LOSES (half-filled K) — hence the k==128 gate. The
+# stride-2 tile decomposition runs in a PARITY domain: activations
+# live as (row/2, col/2, (2·rowpar + colpar)·k + c) so every Winograd
+# tap d[2i+a, 2j+b] is a contiguous row/sublane/lane-group slice.
+# Parity entry (producer side) is a measured-~free repack: f32 scratch
+# + four stride-2 quadrant loads (Mosaic lowers 32-bit strided ref ops
+# when the memref's last dim is exactly 128 — tools/strided_store_probe
+# .py); parity exit folds into a half-resolution mm_last whose parity
+# out blocks one XLA transpose recombines.
+_WINO_TRG = 6  # parity-row group per step: bounds the 4 f32 Y
+#                accumulators (4·TRG·TC·n f32 must fit scoped VMEM —
+#                a 12-row group OOMed at k=n=128, 18.7M > 16M)
+_WINO_BT = ((1, 0, -1, 0), (0, 1, 1, 0), (0, -1, 1, 0), (0, 1, 0, -1))
+_WINO_AT = ((1, 1, 1, 0), (0, 1, -1, -1))
+
+
+def _wino_layers(dims, n_layers, mm_last, min_li=1):
+    """Middle layers running Winograd F(2x2,3x3) in the parity domain.
+
+    Eligible (computed back to front): f == 3, k == 128 EXACTLY (the
+    producer's parity repack strided-loads a (rows, w, k) f32 scratch
+    and Mosaic strided ops require a 128-lane memref), and a consumer
+    that reads parity — either another wino layer or the last layer
+    under ``mm_last`` with f == 3 and n_out ≤ 16 (its half-res
+    all-phase dot carries 2·4·n_out Z lanes). ``min_li`` excludes
+    layers whose producer does not store via ``store_act`` (the plane
+    first layer under min_li=2). Tile evenness is the caller's gate.
+    Shared by the kernel and ``fused_forward`` weight prep."""
+    fs = [d[0] for d in dims]
+    ks = [d[1] for d in dims]
+    ns = [d[2] for d in dims]
+    elig: set = set()
+    last_ok = mm_last and fs[-1] == 3 and ns[-1] <= 16
+    for li in range(n_layers - 2, min_li - 1, -1):
+        cons_ok = (li + 1 in elig) or (li + 2 == n_layers and last_ok)
+        if fs[li] == 3 and ks[li] == 128 and cons_ok:
+            elig.add(li)
+    return frozenset(elig)
+
+
+def _wino_weights(w, dtype):
+    """(3,3,k,n) HWIO → (16k, n): rows (4a+b)·k + c hold the Winograd-
+    transformed U = G g Gᵀ per (c, n) — position pos = 4a+b matches the
+    kernel's ``w_ref[pos·k : (pos+1)·k]`` slabs."""
+    f, _, k, n = w.shape
+    g_m = jnp.asarray(
+        [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
+    u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
+                   jnp.asarray(w, jnp.float32))
+    return u.reshape(16 * k, n).astype(dtype)
+
+
+def _wino_mm_weights(w, dtype):
+    """(3,3,k,m) last-layer HWIO → the parity-domain all-phase layout
+    (2·4k, 2·4m): the 3x3 full-res conv becomes an f'=2 conv over the
+    half-res 4k-lane parity image. Row dx'·4k + (2a+b)·k + c, column
+    dy'·4m + (2p+q)·m + j holds w[2·dy' + a − p, 2·dx' + b − q, c, j]
+    (zero outside the 3x3 footprint): (a, b) the tap's row/col parity,
+    (p, q) the output pixel's parity, (dy', dx') the half-res offsets."""
+    f, _, k, m = w.shape
+    wf = jnp.asarray(w, jnp.float32)
+    wp = jnp.zeros((2, 4, k, 2, 4, m), jnp.float32)
+    for dyp in range(2):
+        for dxp in range(2):
+            for a in range(2):
+                for b in range(2):
+                    for p in range(2):
+                        for q in range(2):
+                            dy = 2 * dyp + a - p
+                            dx = 2 * dxp + b - q
+                            if 0 <= dy < f and 0 <= dx < f:
+                                wp = wp.at[dxp, 2 * a + b, :,
+                                           dyp, 2 * p + q, :].set(wf[dy, dx])
+    return wp.reshape(8 * k, 8 * m).astype(dtype)
+
+
 # Packed-row (xpack) kernel mode: G consecutive activation ROWS per
 # 128-lane group. Measured rationale in tools/xpack_probe2.py (packed
 # dots beat sep 17-24% at every RGB small-n shape, the 64-lane-offset
@@ -1344,6 +1426,8 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
                           mm_last: bool = False,
                           sep_prep: frozenset = frozenset(),
                           xpack: bool = False,
+                          wino_prep: frozenset = frozenset(),
+                          wino_mm: bool = False,
                           ) -> List[jnp.ndarray]:
     """Reshape layers 2..L from HWIO (f, f, k, n): middle → all-phase
     (f·k, f·n) with column block dy holding kernel-row dy's (f·k, n),
