@@ -1438,7 +1438,10 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
     (f·⌈f/P⌉, n, P·k) when ``pack_last`` = P > 1 (row dy·Q+q, lane
     c·k+j = w[dy, q·P+c, j, n], zeros for taps past f), or the
     middle-style all-phase (f·k, f·n) when ``mm_last`` (the last layer
-    runs on the MXU). Weights in ``dtype``, biases f32."""
+    runs on the MXU). Winograd-mode layers (``wino_prep`` indices /
+    ``wino_mm`` for the last layer) take the (16k, n) pos-slab /
+    (8k, 8m) parity all-phase layouts instead — see _wino_weights,
+    _wino_mm_weights. Weights in ``dtype``, biases f32."""
     n_layers = len(params)
     wbs: List[jnp.ndarray] = []
     for li, l in enumerate(params):
@@ -1448,6 +1451,14 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
             # packed-row mode: every tail layer (last included) takes
             # the banded per-dx layout (see _xpack_weights)
             wbs.append(_xpack_weights(w, dtype))
+        elif li in wino_prep and li != n_layers - 1:
+            # Winograd F(2x2,3x3) layer: (16k, n) pos slabs (U = GgGᵀ
+            # per (c, n) — see _wino_weights / tests/test_winograd_prep)
+            wbs.append(_wino_weights(w, dtype))
+        elif li == n_layers - 1 and wino_mm:
+            # parity-domain half-res all-phase last layer (8k, 8m) —
+            # the wino chain's exit (see _wino_mm_weights)
+            wbs.append(_wino_mm_weights(w, dtype))
         elif li in sep_prep and li != n_layers - 1:
             wbs.append(w.reshape(f * f * k, n).astype(dtype))
         elif li == n_layers - 1 and mm_last:

@@ -137,6 +137,41 @@ def test_wino_mm_weights_parity_allphase_matches_oracle(k, m):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_prepare_tail_weights_routes_wino_layouts():
+    """``_prepare_tail_weights(..., wino_prep=..., wino_mm=True)``
+    emits the (16k, n) pos-slab layout for wino middle layers and the
+    (8k, 8m) parity all-phase layout for the last layer, leaving
+    non-wino layers and all biases untouched."""
+    def layer(f, k, n):
+        return {"w": RNG.standard_normal((f, f, k, n)).astype(np.float32),
+                "b": RNG.standard_normal(n).astype(np.float32)}
+
+    params = [layer(3, 4, 6), layer(3, 6, 6), layer(3, 6, 2)]
+    wbs = pf._prepare_tail_weights(
+        params, jnp.float32, mm_last=True,
+        wino_prep=frozenset({1}), wino_mm=True)
+    assert len(wbs) == 6
+    # layer 0: untouched by wino → default middle all-phase (f·k, f·n)
+    assert wbs[0].shape == (3 * 4, 3 * 6)
+    # layer 1: wino pos slabs; layer 2: parity all-phase exit
+    np.testing.assert_array_equal(
+        np.asarray(wbs[2]),
+        np.asarray(pf._wino_weights(jnp.asarray(params[1]["w"]),
+                                    jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(wbs[4]),
+        np.asarray(pf._wino_mm_weights(jnp.asarray(params[2]["w"]),
+                                       jnp.float32)))
+    for li in range(3):
+        np.testing.assert_array_equal(np.asarray(wbs[2 * li + 1]),
+                                      params[li]["b"])
+        assert wbs[2 * li + 1].dtype == jnp.float32
+    # without the wino flags the same call keeps the shipping layouts
+    base = pf._prepare_tail_weights(params, jnp.float32, mm_last=True)
+    assert base[2].shape == (3 * 6, 3 * 6)      # middle all-phase
+    assert base[4].shape == (3 * 6, 3 * 2)      # mm_last all-phase
+
+
 RGB7 = [(3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
         (3, 64, 128), (3, 128, 128), (3, 128, 3)]
 
