@@ -128,29 +128,6 @@ def _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n):
     )
 
 
-def _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n):
-    """Middle layers that run the dy-PACKED dot (``dypack_max_n``): one
-    ``((rows+f−1)·ow, f·k) @ (f·k, f·n)`` all-phase-layout matmul per
-    chunk, combined by f row-shifted lane slices ON VALUES — no Z
-    scratch, no scratch round-trip, and ⌈f·n/128⌉ MXU column passes
-    instead of sep's f at n/128 lane use. The third point in the
-    small-n design space: all-phase (packed lanes + Z store + combine
-    reads), sep (no Z, f passes), dypack (packed lanes, no Z, combine
-    on dot-result values; re-dots f−1 overlap rows per chunk, ~8% extra
-    M at chunk 24). Eligible: the sep-eligible set (f==3, prepacked
-    input) where packing actually reduces passes (⌈f·n/128⌉ < f, i.e.
-    n ∈ {8..64} at f=3) and n ≤ dypack_max_n. Selected layers are
-    REMOVED from the sep set and take the default all-phase weight
-    layout. Shared by the kernel and ``fused_forward`` weight prep."""
-    if dypack_max_n <= 0:
-        return frozenset()
-    elig = _sep_layers(dims, n_layers, prepack_max_deep, dypack_max_n)
-    fs = [d[0] for d in dims]
-    ns = [d[2] for d in dims]
-    return frozenset(
-        li for li in elig if -(-fs[li] * ns[li] // 128) < fs[li])
-
-
 # Winograd F(2x2,3x3) layer mode (tools/winograd_probe.py): eligible
 # f==3 middle layers run 16 position-matmuls (tiles, k) @ (k, n) over
 # 2x2 output tiles — 16 multiplies per tile instead of the direct
@@ -215,8 +192,20 @@ def _wino_mm_weights(w, dtype):
     half-res 4k-lane parity image. Row dx'·4k + (2a+b)·k + c, column
     dy'·4m + (2p+q)·m + j holds w[2·dy' + a − p, 2·dx' + b − q, c, j]
     (zero outside the 3x3 footprint): (a, b) the tap's row/col parity,
-    (p, q) the output pixel's parity, (dy', dx') the half-res offsets."""
+    (p, q) the output pixel's parity, (dy', dx') the half-res offsets.
+
+    BIAS TRAP (kernel-mode contract): the layer's (m,) bias is NOT
+    reshaped here — the kernel's parity output lanes are (2p+q)·m + j
+    (4m wide, produced as two dy'-phase Z halves that get summed), so
+    the bias must be broadcast/tiled to the 4 parity lanes and added
+    ONCE, after the dy' combine — adding it per Z dot would double-
+    count it (mirrors how the shipping mm_last adds bias post-
+    reduction)."""
     f, _, k, m = w.shape
+    if f != 3:
+        # the 0<=dy<f footprint guard below only reaches dy,dx in 0..3:
+        # an f=5 layer would silently lose its outer taps
+        raise ValueError(f"wino_mm requires f==3 last layer, got f={f}")
     wf = jnp.asarray(w, jnp.float32)
     wp = jnp.zeros((2, 4, k, 2, 4, m), jnp.float32)
     for dyp in range(2):
@@ -233,63 +222,13 @@ def _wino_mm_weights(w, dtype):
     return wp.reshape(8 * k, 8 * m).astype(dtype)
 
 
-# Packed-row (xpack) kernel mode: G consecutive activation ROWS per
-# 128-lane group. Measured rationale in tools/xpack_probe2.py (packed
-# dots beat sep 17-24% at every RGB small-n shape, the 64-lane-offset
-# operand read is free, a 192-lane contraction lowers cleanly).
-_XPACK_G = 4
-
-
-def _xpack_pj(n: int) -> int:
-    """Output rows per 128-lane out-chunk for an xpack layer with n
-    output channels: P = min(G, 128//n) q-rows pack into one chunk
-    (n ≥ 128 → 1). G is divisible by every P (1/2/4), so a layer always
-    emits nj = G//P chunks."""
-    return max(1, min(_XPACK_G, 128 // n))
-
-
-def _xpack_stack(dims, n_layers: int, mm_last: bool) -> bool:
-    """Stack-wide xpack eligibility. The packed-row representation must
-    hold from the first tail layer to the output (un-grouping rows
-    mid-stream needs strided stores Mosaic has no good form for), so
-    ALL of: an f==1 entry layer (folded/plane first layer), every later
-    layer f==3 (slots = G+f−1 = 6), and the last layer on the MXU
-    (``mm_last`` — the VPU last layer needs flat f32 rows)."""
-    fs = [d[0] for d in dims]
-    return (
-        mm_last
-        and n_layers >= 3
-        and fs[0] == 1
-        and all(f == 3 for f in fs[1:])
-    )
-
-
-def _xpack_weights(w, dtype):
-    """Banded xpack weights for one (f, f, k, n) HWIO layer.
-
-    The packed input ref holds X[g, x, p·k+c] = act[G·g+p, x, c]
-    (p ∈ 0..G+f−2); out-chunk j computes rows q_abs = j·P+q_rel at
-    lane q_rel·n+cn from input slots p_abs = j·P+p_rel. Since
-    p_abs−q_abs == p_rel−q_rel, ONE banded matrix per dx serves every
-    chunk: W_dx[(p,c),(q,cn)] = w[dy=p−q, dx, c, cn] for 0 ≤ p−q < f,
-    else 0 — i.e. column block q is w[:,dx] reshaped (f·k, n) sunk q·k
-    rows. Returns (f·(P+f−1)·k, P·n) with dx blocks stacked on rows;
-    the dy sum rides the band, so there is no Z scratch and no phase
-    combine. Derivation + microbenchmarks: tools/xpack_probe2.py."""
-    f, _, k, n = w.shape
-    pj = _xpack_pj(n)
-    blocks = [
-        jnp.concatenate(
-            [
-                jnp.pad(w[:, dx].reshape(f * k, n),
-                        ((q * k, (pj - 1 - q) * k), (0, 0)))
-                for q in range(pj)
-            ],
-            axis=1,
-        )
-        for dx in range(f)
-    ]
-    return jnp.concatenate(blocks, axis=0).astype(dtype)
+# dypack (dy-packed small-n dots) and xpack (packed-row banded dots)
+# were fully built, correctness-pinned, and measured as full-kernel
+# LOSSES on chip (dypack 19.1→21.1 ms RGB; xpack 25.3 vs 17.9 ms
+# despite +17-24% dot-level microbenches) — quarantined out of the
+# production kernel in round 3. The probes and post-mortems remain the
+# record: tools/dypack_probe.py, tools/xpack_probe{,2}.py,
+# docs/BENCHMARKS.md "Investigated and rejected".
 
 
 def _window_pads(dims, h, w_dim, tile_h, tile_w, win_dt, dtype,
@@ -381,7 +320,7 @@ def _plane_pads(dims, out_h, out_w, tile_h, tile_w, win_dt,
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
-                     "pipe_combine", "dypack_max_n", "xpack"),
+                     "pipe_combine", "wino_on"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -393,8 +332,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        prepack_max_deep: int = 384,
                        mm_last: bool = False, sep_max_n: int = 0,
                        pipe_combine: bool = True,
-                       dypack_max_n: int = 0,
-                       xpack: bool = False):
+                       wino_on: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -573,21 +511,45 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     elif fs and fs[0] == 1 and wbs[0].shape[0] < c_pad:
         wbs = list(wbs)
         wbs[0] = jnp.pad(wbs[0], ((0, c_pad - wbs[0].shape[0]), (0, 0)))
+    # Winograd F(2x2,3x3) layers (see _wino_layers / the mode comment
+    # above): their input ref holds PARITY PLANES, their output feeds
+    # either another wino layer (parity planes again) or the last layer
+    # as a dx'-prepacked 4k-lane parity image consumed by the half-res
+    # parity all-phase exit (``wino_mm``). Wino layers leave the sep and
+    # prepack sets and carry no Z/patch scratch of their own.
+    wino = (_wino_layers(dims, n_layers, mm_last,
+                         min_li=2 if plane else 1)
+            if wino_on else frozenset())
+    # the chain always reaches the last layer (eligibility is computed
+    # back to front from the mm exit), so a nonempty set implies the
+    # parity-exit last layer
+    wino_mm = bool(wino)
     # separated-phase layers (see _sep_layers): no Z scratch at all.
-    # dy-packed layers (see _dypack_layers) take precedence over sep
-    # and also carry no Z.
-    dyp = _dypack_layers(dims, n_layers, prepack_max_deep, dypack_max_n)
-    sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n) - dyp
+    sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n) - wino
+    # wino layers read parity planes, not patches; the wino_mm last
+    # layer's input is the dx'-packed parity image its producer stores
+    prepack = prepack - wino
+    if wino_mm:
+        prepack = prepack - frozenset({n_layers - 1})
     # z scratch for every f>1 MXU layer (incl. the last under mm_last,
-    # excl. separated-phase/dy-packed layers); patch scratch only for
-    # the ones whose input is not pre-packed
+    # excl. separated-phase and wino layers — wino accumulates AᵀMA in
+    # registers; the wino_mm last layer keeps a (half-res) Z); patch
+    # scratch only for the ones whose input is not pre-packed
     n_mxu = n_layers if mm_last else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
-        if fs[li] > 1 and li not in sep and li not in dyp)}
+        if fs[li] > 1 and li not in sep and li not in wino)}
     pp_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
-        if fs[li] > 1 and li not in prepack)}
+        if fs[li] > 1 and li not in prepack and li not in wino
+        and not (wino_mm and li == n_layers - 1))}
+    # producer-side parity-split scratch: one f32 (chunk, w, 128) buffer
+    # per wino layer whose producer is a NORMAL kernel layer (strided
+    # stride-2 ref loads need f32 and an exactly-128-lane memref —
+    # tools/strided_store_probe.py); wino→wino boundaries store parity
+    # planes directly from the (already parity-separated) Y values
+    ps_idx = {li: i for i, li in enumerate(
+        li for li in sorted(wino) if li - 1 not in wino)}
     # Software-pipelined combine (full-height Z, lagged one chunk): the
     # rolling schedule's combine reads the SAME chunk's freshly-stored Z
     # — a RAW hazard stalling the VPU on the MXU, and the next dot
@@ -599,18 +561,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         li for li in pz_idx
         if n_layers <= 4 or (mm_last and li == n_layers - 1)
     ) if pipe_combine else frozenset()
-    # Packed-row mode (see _xpack_weights / tools/xpack_probe2.py):
-    # every tail layer runs banded per-(j, dx) dots over packed-group
-    # refs — no Z scratch, no patch scratch, no prepack copies, no
-    # phase combine; outputs leave the kernel as (gh, G, W) blocks.
-    xp = xpack and _xpack_stack(dims, n_layers, mm_last)
-    if xp:
-        dyp = frozenset()
-        sep = frozenset()
-        prepack = frozenset()
-        pz_idx = {}
-        pp_idx = {}
-        pipe_z = frozenset()
 
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
@@ -619,8 +569,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
         n_pz = len(pz_idx)
+        n_pp = len(pp_idx)
         z_refs = scratch[2 + (n_layers - 1) : 2 + (n_layers - 1) + n_pz]
-        p_refs = scratch[2 + (n_layers - 1) + n_pz :]
+        p_refs = scratch[2 + (n_layers - 1) + n_pz :
+                         2 + (n_layers - 1) + n_pz + n_pp]
+        ps_refs = scratch[2 + (n_layers - 1) + n_pz + n_pp :]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -665,6 +618,26 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             # (lane-group stores at n-multiples, the same pattern as the
             # patch build's dx·k stores)
             n = ns[li]
+            if li + 1 in wino:
+                # parity-split store for a wino consumer: rows/cols
+                # de-interleave into (row-parity plane, col-parity lane
+                # group) — f32 scratch + four stride-2 quadrant loads
+                # (measured ~free vs the flat store: 9.28 vs 9.94
+                # us/chunk, tools/winograd_probe.py `repack`). Chunk
+                # starts are even (chunk_rows and every emit boundary
+                # are even when f is odd and oh is even — both gated).
+                m = r1 - r0
+                s_ref = ps_refs[ps_idx[li + 1]]
+                s_ref[0:m] = v.astype(jnp.float32)
+                w_half = ws[li + 1] // 2
+                for p_r in range(2):
+                    for q_c in range(2):
+                        act_refs[li][
+                            p_r, r0 // 2 : r0 // 2 + m // 2, 0:w_half,
+                            q_c * n : (q_c + 1) * n,
+                        ] = s_ref[p_r : m : 2, q_c :: 2].astype(
+                            act_dts[li])
+                return
             if li == n_layers - 2 and pack_last > 1:
                 cnt = pack_last
                 vv = jnp.pad(v, ((0, 0), (0, cnt - 1), (0, 0)))
@@ -680,25 +653,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 act_refs[li][r0:r1, :, c * n : (c + 1) * n] = vv[
                     :, c : c + wout, :
                 ]
-
-        def xp_zero_tail_slots(li, oh_rows):
-            # xpack producers leave slot lanes whose row ≥ oh_rows
-            # unwritten (they only feed garbage q's) — but the banded
-            # dot contracts the FULL slot window and 0·NaN = NaN, so
-            # uninitialized VMEM there would poison the last valid
-            # rows. Statically zero the (≤ G+f₂−1 per tile) tail slots.
-            n = ns[li]
-            f2 = fs[li + 1]
-            gh = -(-oh_rows // _XPACK_G)
-            for g_t in (gh - 2, gh - 1):
-                if g_t < 0:
-                    continue
-                for p_t in range(_XPACK_G + f2 - 1):
-                    if _XPACK_G * g_t + p_t >= oh_rows:
-                        act_refs[li][
-                            g_t, :, p_t * n : (p_t + 1) * n
-                        ] = jnp.zeros(
-                            (act_refs[li].shape[1], n), act_dts[li])
 
         # ---- middle layers: shared-patch im2col + shift-add matmul ----
         # Patches for dy+1 are a one-row shift of dy's, so ONE extended
@@ -718,6 +672,132 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             src = a_vmem.at[slot] if li == 0 else act_refs[li - 1]
             w_ref, b_ref = wrefs[2 * li], wrefs[2 * li + 1]
             act_dt = act_dts[li] if li < n_layers - 1 else jnp.float32
+
+            if li in wino:
+                # ---- Winograd F(2x2,3x3) layer (parity domain) ----
+                # src holds parity planes (2, H/2, W/2p, 2k): plane =
+                # row parity, lane group = col parity, so every tap
+                # d[2i+a, 2j+b] is a contiguous (rows, TC, k) slice.
+                # Factored transform (winoF, tools/winograd_probe.py):
+                # per BᵀdB row-parity pa, 4 single-add row combos R[jb],
+                # then per col pb one combo V = ±R[j1] ± R[j2]; 16
+                # position dots (rows·TC, k) @ (k, n) at full MXU K-fill
+                # (k == 128 gate); AᵀMA accumulates incrementally into
+                # the 4 parity Y accumulators (coeffs 0/±1). Measured
+                # −55% vs sep at (128,128), −43% at (128,64) per chunk.
+                if "mid" in _DEBUG_SKIP:
+                    continue  # triage
+                tr_l, tc_l = oh // 2, ow // 2
+                last_cons = wino_mm and li == n_layers - 2
+
+                def wtap(a_p, b_p, t0, rows, *, src=src, k=k,
+                         tc_l=tc_l):
+                    return src[a_p % 2, a_p // 2 + t0 : a_p // 2 + t0
+                               + rows, b_p // 2 : b_p // 2 + tc_l,
+                               (b_p % 2) * k : (b_p % 2 + 1) * k]
+
+                for t0 in range(0, tr_l, _WINO_TRG):
+                    rows = min(_WINO_TRG, tr_l - t0)
+                    ys = [None] * 4
+                    for pa in range(4):
+                        i1, i2 = [i for i in range(4)
+                                  if _WINO_BT[pa][i] != 0]
+                        rs = []
+                        for jb in range(4):
+                            d1 = wtap(i1, jb, t0, rows)
+                            d2 = wtap(i2, jb, t0, rows)
+                            d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
+                            rs.append(d1 + d2 if _WINO_BT[pa][i2] > 0
+                                      else d1 - d2)
+                        for pb in range(4):
+                            j1, j2 = [j for j in range(4)
+                                      if _WINO_BT[pb][j] != 0]
+                            v = (rs[j1] if _WINO_BT[pb][j1] > 0
+                                 else -rs[j1])
+                            v = (v + rs[j2] if _WINO_BT[pb][j2] > 0
+                                 else v - rs[j2])
+                            pos = pa * 4 + pb
+                            mdot = jax.lax.dot_general(
+                                v.reshape(rows * tc_l, k),
+                                w_ref[pos * k : (pos + 1) * k],
+                                dimension_numbers=(((1,), (0,)),
+                                                   ((), ())),
+                                preferred_element_type=jnp.float32)
+                            for pq in range(4):
+                                c = (_WINO_AT[pq // 2][pa]
+                                     * _WINO_AT[pq % 2][pb])
+                                if c != 0:
+                                    t = mdot if c > 0 else -mdot
+                                    ys[pq] = (t if ys[pq] is None
+                                              else ys[pq] + t)
+                    for pq in range(4):
+                        val = jnp.maximum(
+                            ys[pq].reshape(rows, tc_l, n) + b_ref[...],
+                            0.0).astype(act_dt)
+                        if last_cons:
+                            # dx'-packed parity image for the mm exit:
+                            # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
+                            # copies (the f'=2 all-phase prepack)
+                            wlast = act_refs[li].shape[1]
+                            for dxp in range(2):
+                                act_refs[li][
+                                    t0 : t0 + rows, :,
+                                    dxp * 4 * n + pq * n
+                                    : dxp * 4 * n + (pq + 1) * n,
+                                ] = val[:, dxp : dxp + wlast]
+                        else:
+                            # next wino layer's parity planes: plane =
+                            # row parity p, lane group = col parity q
+                            act_refs[li][
+                                pq // 2, t0 : t0 + rows, 0:tc_l,
+                                (pq % 2) * n : (pq % 2 + 1) * n,
+                            ] = val
+                continue
+
+            if wino_mm and li == n_layers - 1:
+                # ---- parity-domain all-phase exit (wino_mm) ----
+                # src: (H/2, W/2, 8k) dx'-packed parity image; w_ref the
+                # (8k, 8m) _wino_mm_weights layout. Z lanes are
+                # dy'·4m + (2p+q)·m + j; combine sums the two dy' phase
+                # slices, adds bias ONCE post-combine (the (m,) bias
+                # broadcasts over the 4 parity lanes — adding per Z dot
+                # would double-count it), and lands half-res parity out
+                # blocks one XLA transpose recombines in the wrapper.
+                # Linear (no ReLU): reference layer L,
+                # ConfigBasedDataPipeline.cpp:66.
+                if "last" in _DEBUG_SKIP:
+                    continue  # triage
+                z_ref = z_refs[pz_idx[li]]
+                trh = hs[li] // 2
+                ohh = tile_h // 2
+                w2 = act_refs[li - 1].shape[1]
+                m4 = 4 * n
+                k8 = 8 * k
+                for c0 in range(0, trh, ch):
+                    ce = min(c0 + ch, trh)
+                    z_ref[c0:ce] = jnp.dot(
+                        src[c0:ce, 0:w2, 0:k8]
+                        .reshape((ce - c0) * w2, k8),
+                        w_ref[...],
+                        preferred_element_type=jnp.float32,
+                    ).reshape(ce - c0, w2, 2 * m4).astype(z_ref.dtype)
+                for c0 in range(0, ohh, ch):
+                    ce = min(c0 + ch, ohh)
+                    m_r = ce - c0
+                    accz = (z_ref[c0:ce, :, 0:m4].astype(jnp.float32)
+                            + z_ref[c0 + 1 : ce + 1, :, m4 : 2 * m4]
+                            .astype(jnp.float32))
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (m_r, w2, m4), 2)
+                    for cc in range(n):
+                        for pq in range(4):
+                            val = jnp.sum(
+                                jnp.where(lane == pq * n + cc,
+                                          accz, 0.0),
+                                axis=-1) + b_ref[cc]
+                            out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
+                                val[:, 0 : tile_w // 2])
+                continue
 
             if plane and li == 0:
                 if "l1" in _DEBUG_SKIP:
@@ -744,8 +824,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     cnt, wtgt = fs[li + 1], ws[li + 2]
                 else:
                     cnt, wtgt = 1, ws[li + 1]
-                if xp:
-                    xp_zero_tail_slots(li, oh)
                 for r8 in range(0, oh, l1_r):
                     rows = min(l1_r, oh - r8)
                     for wb in range(nblk):
@@ -773,37 +851,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         )
                         yb = jnp.maximum(yb + b_ref[...], 0.0).astype(act_dt)
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
-                            # full-row store: (1,1,1) stores into packed
-                            # bf16 refs fail Mosaic lowering (xp refs
-                            # hold group rows — r8//G keeps it in range)
-                            r_t = r8 // _XPACK_G if xp else r8
-                            act_refs[li][r_t : r_t + 1] = jnp.broadcast_to(
+                            # full-row store ((1,1,1) stores into packed
+                            # bf16 refs fail Mosaic lowering)
+                            act_refs[li][r8 : r8 + 1] = jnp.broadcast_to(
                                 jnp.max(yb.astype(jnp.float32))
                                 .reshape(1, 1, 1).astype(act_dt),
                                 (1,) + act_refs[li].shape[1:])
-                            continue
-                        if xp:
-                            # packed-row store: row y lands at
-                            # (g=y//G, p=y%G) and, for p ≤ f₂−2, also
-                            # at (g−1, p=y%G+G) — 1-2 slab stores per
-                            # row vs the prepack path's f₂ copies
-                            gG, f2 = _XPACK_G, fs[1]
-                            x1 = min(wc + 128, wtgt)
-                            if x1 <= wc:
-                                continue
-                            for r in range(rows):
-                                slab = yb[0 : x1 - wc,
-                                          r * n : (r + 1) * n]
-                                y0 = r8 + r
-                                tgts = [(y0 // gG, y0 % gG)]
-                                if y0 % gG <= f2 - 2 and y0 >= gG:
-                                    tgts.append(
-                                        (y0 // gG - 1, y0 % gG + gG))
-                                for g_t, p_t in tgts:
-                                    act_refs[li][
-                                        g_t, wc:x1,
-                                        p_t * n : (p_t + 1) * n
-                                    ] = slab
                             continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
@@ -831,8 +884,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # the per-dy-group weight slabs, accumulated in f32
                 kk = c_pad if li == 0 else ks[li]
                 gcnt = l1_gpack if li == 0 else 1
-                if xp:
-                    xp_zero_tail_slots(li, oh)
                 for c0 in range(0, oh, ch):
                     ce = min(c0 + ch, oh)
                     y = None
@@ -853,182 +904,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                             jnp.max(y.astype(jnp.float32))
                                 .reshape(1, 1, 1).astype(act_dt),
                             (1,) + act_refs[li].shape[1:])
-                    elif xp:
-                        # packed-row store: a (m//G, G, ow, n) reshape
-                        # turns row parity into a STATIC index (no
-                        # strided slicing); boundary slots G+t of group
-                        # g−1 take rows ≡ t (mod G); the ≤G−1 ragged
-                        # tail rows store individually
-                        yv = jnp.maximum(
-                            y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
-                        ).astype(act_dt)
-                        gG, f2 = _XPACK_G, fs[1]
-                        g0 = c0 // gG
-                        m4 = (ce - c0) // gG * gG
-                        if m4:
-                            yr = yv[0:m4].reshape(m4 // gG, gG, ow, n)
-                            for p_t in range(gG):
-                                act_refs[li][
-                                    g0 : g0 + m4 // gG, :,
-                                    p_t * n : (p_t + 1) * n
-                                ] = yr[:, p_t]
-                            for t in range(f2 - 1):
-                                blk = yr[:, t]
-                                pt = (gG + t) * n
-                                if g0 == 0:
-                                    if m4 // gG > 1:
-                                        act_refs[li][
-                                            0 : m4 // gG - 1, :,
-                                            pt : pt + n] = blk[1:]
-                                else:
-                                    act_refs[li][
-                                        g0 - 1 : g0 - 1 + m4 // gG, :,
-                                        pt : pt + n] = blk
-                        for i in range(m4, ce - c0):
-                            y0 = c0 + i
-                            row = yv[i]
-                            act_refs[li][
-                                y0 // gG, :,
-                                (y0 % gG) * n : (y0 % gG + 1) * n
-                            ] = row
-                            if y0 % gG <= f2 - 2 and y0 >= gG:
-                                pt = (y0 % gG + gG) * n
-                                act_refs[li][y0 // gG - 1, :,
-                                             pt : pt + n] = row
                     else:
                         store_act(li, c0, ce, jnp.maximum(
                             y.reshape(ce - c0, ow, n) + b_ref[...], 0.0
                         ).astype(act_dt))
-                continue
-
-            if xp:
-                # ---- packed-row (xpack) layer: banded per-(j,dx) dots
-                # over packed-group operands (see _xpack_weights /
-                # tools/xpack_probe2.py). Out-chunk j emits rows
-                # q = j·P..j·P+P−1 at lane (q_rel·n + cn) from input
-                # slots j·P..j·P+P+f−2 — the dy sum rides the weight
-                # band, so there is no Z scratch and no phase combine;
-                # the last layer extracts its (q, cn) lanes by masked
-                # reduction straight into the (gh, G, W) out blocks.
-                gG = _XPACK_G
-                pj = _xpack_pj(n)
-                nj = gG // pj
-                lw = (pj + f - 1) * k
-                oh_g = -(-oh // gG)
-                gch = max(1, ch // gG)
-                last = li == n_layers - 1
-                f2 = fs[li + 1] if not last else 0
-                if not last:
-                    xp_zero_tail_slots(li, oh)
-                for g0 in range(0, oh_g, gch):
-                    ge = min(g0 + gch, oh_g)
-                    m_g = ge - g0
-                    for j in range(nj):
-                        l0 = j * pj * k
-                        if "mid_dot" not in _DEBUG_SKIP:
-                            acc = None
-                            for dx in range(f):
-                                yg = jnp.dot(
-                                    src[g0:ge, dx : dx + ow,
-                                        l0 : l0 + lw]
-                                    .reshape(m_g * ow, lw),
-                                    w_ref[dx * lw : (dx + 1) * lw],
-                                    preferred_element_type=jnp.float32,
-                                )
-                                acc = yg if acc is None else acc + yg
-                        else:  # triage: input-dependent broadcast
-                            acc = jnp.broadcast_to(
-                                src[g0 : g0 + 1, 0:1, 0:1]
-                                .astype(jnp.float32).reshape(1, 1),
-                                (m_g * ow, pj * n))
-                        acc = acc.reshape(m_g, ow, pj * n)
-                        if last:
-                            # linear (no ReLU — the reference's layer L,
-                            # ConfigBasedDataPipeline.cpp:66); bias adds
-                            # post-extraction per channel
-                            lane = jax.lax.broadcasted_iota(
-                                jnp.int32, (m_g, ow, pj * n), 2)
-                            for cn in range(n):
-                                for q in range(pj):
-                                    val = jnp.sum(
-                                        jnp.where(lane == q * n + cn,
-                                                  acc, 0.0),
-                                        axis=-1) + b_ref[cn]
-                                    out_refs[cn][g0:ge, q, :] = (
-                                        val[:, 0:tile_w])
-                            continue
-                        yv = jnp.maximum(
-                            acc + jnp.tile(b_ref[...], pj), 0.0
-                        ).astype(act_dt)
-                        if "mid_store" in _DEBUG_SKIP:  # triage-only
-                            act_refs[li][0:1] = jnp.broadcast_to(
-                                jnp.max(yv.astype(jnp.float32))
-                                .reshape(1, 1, 1).astype(act_dt),
-                                (1,) + act_refs[li].shape[1:])
-                            continue
-                        # chain store: main slots are a direct lane
-                        # copy; boundary slots G+t of group g−1 take
-                        # q_abs = t of group g (t's chunk only)
-                        act_refs[li][
-                            g0:ge, 0:ow, j * pj * n : (j * pj + pj) * n
-                        ] = yv
-                        for t in range(f2 - 1):
-                            if t // pj != j:
-                                continue
-                            qr = t - (t // pj) * pj
-                            blk = yv[:, :, qr * n : (qr + 1) * n]
-                            pt = (gG + t) * n
-                            if g0 == 0:
-                                if m_g > 1:
-                                    act_refs[li][0 : ge - 1, 0:ow,
-                                                 pt : pt + n] = blk[1:]
-                            else:
-                                act_refs[li][g0 - 1 : ge - 1, 0:ow,
-                                             pt : pt + n] = blk
-                continue
-
-            if li in dyp:
-                # ---- dy-packed dot (small-n middle layers) ----
-                # One all-phase-layout matmul per chunk over m+f−1
-                # operand rows: Y[r, dy·n:(dy+1)·n] = P[c0+r] @ w[dy],
-                # then out[i] = Σ_dy Y[i+dy, dy-block] combined directly
-                # on the dot-result VALUES (f static row/lane slices) —
-                # no Z scratch or round-trip, ⌈f·n/128⌉ MXU passes vs
-                # sep's f (see _dypack_layers). The prepacked input ref
-                # holds patch rows 0..oh+f−2, so the extended operand
-                # window is a plain row range; chunks are independent.
-                fk = f * k
-                for c0 in range(0, oh, ch):
-                    ce = min(c0 + ch, oh)
-                    m = ce - c0
-                    mext = m + f - 1
-                    if "mid_dot" not in _DEBUG_SKIP:
-                        yp = jnp.dot(
-                            src[c0 : c0 + mext, 0:ow, 0:fk]
-                            .reshape(mext * ow, fk),
-                            w_ref[...],
-                            preferred_element_type=jnp.float32,
-                        ).reshape(mext, ow, f * n)
-                        y = yp[0:m, :, 0:n]
-                        for dy in range(1, f):
-                            y = y + jax.lax.slice(
-                                yp, (dy, 0, dy * n),
-                                (dy + m, ow, (dy + 1) * n))
-                    else:  # triage: store-side cost only (see sep)
-                        y = jnp.broadcast_to(
-                            src[c0 : c0 + 1, 0:1, 0:1]
-                            .astype(jnp.float32).reshape(1, 1, 1),
-                            (m, ow, n))
-                    yv = jnp.maximum(y + b_ref[...], 0.0).astype(act_dt)
-                    if "mid_combine" in _DEBUG_SKIP:
-                        continue  # triage (combine is fused: ≙ store)
-                    if "mid_store" in _DEBUG_SKIP:  # triage-only gate
-                        act_refs[li][c0 : c0 + 1] = jnp.broadcast_to(
-                            jnp.max(yv.astype(jnp.float32))
-                                .reshape(1, 1, 1).astype(act_dt),
-                            (1,) + act_refs[li].shape[1:])
-                    else:
-                        store_act(li, c0, ce, yv)
                 continue
 
             if li in sep:
@@ -1264,12 +1143,16 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # the ref's lane pad to 128 was already paid; a pre-packed
         # producer stores the consumer's patches outright: f·n lanes at
         # the consumer's output width
-        if xp:
-            # packed-group ref: ⌈rows/G⌉ group rows ×
-            # (G + f₂ − 1) slot-lane blocks — about half the flat
-            # ref's bytes (6 slot lanes per 4 rows vs f₂ = 3 copies)
-            shape = (-(-hs[li + 1] // _XPACK_G), ws[li + 1],
-                     (_XPACK_G + fs[li + 1] - 1) * ns[li])
+        if li + 1 in wino:
+            # a wino layer's parity-plane input: (row parity, row/2,
+            # col/2 8-padded, col-parity lane groups of k)
+            shape = (2, hs[li + 1] // 2,
+                     -(-(ws[li + 1] // 2) // 8) * 8, 2 * ns[li])
+        elif li in wino:
+            # wino output feeding the mm exit: dx'-packed 4k-lane
+            # parity image at half resolution
+            shape = (hs[li + 1] // 2,
+                     -(-(ws[li + 2] // 2) // 8) * 8, 8 * ns[li])
         elif li + 1 in prepack:
             shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
         else:
@@ -1280,6 +1163,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # full-height Z (oh+f−1 rows — lagged combine reads chunks behind
     # the dot), rolling layers (ch+f−1) rows (see the chunk schedules)
     for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
+        if wino_mm and li == n_layers - 1:
+            # parity-exit Z: half-res rows, f'=2 phases of 4m lanes
+            scratch_shapes.append(pltpu.VMEM(
+                (hs[li] // 2, -(-(ws[li + 1] // 2) // 8) * 8,
+                 8 * ns[li]), dtype))
+            continue
         rows = (hs[li + 1] + fs[li] - 1 if li in pipe_z
                 else chunk_rows + fs[li] - 1)
         scratch_shapes.append(
@@ -1289,6 +1178,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         scratch_shapes.append(
             pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
         )
+    for li in ps_idx:  # producer-side parity-split scratch (f32)
+        scratch_shapes.append(
+            pltpu.VMEM((chunk_rows, ws[li], ks[li]), jnp.float32)
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -1296,21 +1189,22 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers),
         out_specs=[
-            # xpack: outputs stay in packed-row space — (gh, G, W)
-            # blocks with q a STATIC middle index; one XLA reshape
-            # below un-groups rows (cheap relative to strided stores)
-            pl.BlockSpec((tile_h // _XPACK_G, _XPACK_G, tile_w),
-                         lambda i, j: (i, 0, j),
+            # wino_mm: outputs stay in the parity domain — (2, 2, H/2,
+            # W/2) planes per channel; one XLA transpose below
+            # recombines (stride-2 stores into a full-res 2D out ref
+            # have no Mosaic lowering at tile_w lanes)
+            pl.BlockSpec((2, 2, tile_h // 2, tile_w // 2),
+                         lambda i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM)
-            if xp else
+            if wino_mm else
             pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
         ] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct(
-                (grid[0] * (tile_h // _XPACK_G), _XPACK_G,
-                 grid[1] * tile_w), jnp.float32)
-            if xp else
+                (2, 2, grid[0] * (tile_h // 2), grid[1] * (tile_w // 2)),
+                jnp.float32)
+            if wino_mm else
             jax.ShapeDtypeStruct((grid[0] * tile_h, grid[1] * tile_w),
                                  jnp.float32)
         ] * n_out,
@@ -1323,10 +1217,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ),
         interpret=interpret,
     )(ap, *wbs)
-    if xp:
-        # un-group (gh, G, W) → rows: (g, q) is row-major in y
-        out = [o.reshape(o.shape[0] * _XPACK_G, o.shape[2])
-               for o in out]
+    if wino_mm:
+        # parity recombine: y[2i+p, 2j+q] = o[p, q, i, j] — one XLA
+        # transpose + reshape per channel (cheap vs in-kernel strided
+        # stores, which Mosaic only lowers at 128-lane memrefs)
+        out = [o.transpose(2, 0, 3, 1).reshape(
+            2 * o.shape[2], 2 * o.shape[3]) for o in out]
     if n_out == 1:
         return out[0][:out_h, :out_w][..., None]
     return jnp.stack([o[:out_h, :out_w] for o in out], axis=-1)
@@ -1425,7 +1321,6 @@ def _im2col_patches(x, f: int, dtype, int8: bool = False,
 def _prepare_tail_weights(params, dtype, pack_last: int = 1,
                           mm_last: bool = False,
                           sep_prep: frozenset = frozenset(),
-                          xpack: bool = False,
                           wino_prep: frozenset = frozenset(),
                           wino_mm: bool = False,
                           ) -> List[jnp.ndarray]:
@@ -1447,11 +1342,7 @@ def _prepare_tail_weights(params, dtype, pack_last: int = 1,
     for li, l in enumerate(params):
         w = jnp.asarray(l["w"], jnp.float32)
         f, _, k, n = w.shape
-        if xpack:
-            # packed-row mode: every tail layer (last included) takes
-            # the banded per-dx layout (see _xpack_weights)
-            wbs.append(_xpack_weights(w, dtype))
-        elif li in wino_prep and li != n_layers - 1:
+        if li in wino_prep and li != n_layers - 1:
             # Winograd F(2x2,3x3) layer: (16k, n) pos slabs (U = GgGᵀ
             # per (c, n) — see _wino_weights / tests/test_winograd_prep)
             wbs.append(_wino_weights(w, dtype))
@@ -1518,8 +1409,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   sep_max_n: int | None = None,
                   l1_rows: int = 16,
                   pipe_combine: bool = True,
-                  dypack_max_n: int | None = None,
-                  xpack: bool | None = None):
+                  wino: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -1560,6 +1450,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     at identical main-dot pass counts — measured a win on every
     pairing: flagship 9.6-10.1 → 9.2-9.4 ms, RGB −0.1 ms (interleaved
     A/B ×3, tools/variants_probe.py 2026-08-18).
+
+    ``wino`` routes eligible layers (f==3, k==128, consumer chain
+    reaching an mm-eligible f==3 last layer with ≤16 outputs — see
+    ``_wino_layers``) through Winograd F(2x2,3x3) in the parity domain:
+    2.25x fewer MACs at full MXU K-fill, parity-split producer stores,
+    and a half-res parity all-phase last layer whose out planes one XLA
+    transpose recombines. None = auto = off pending on-chip A/B
+    (the dypack/xpack discipline; probe: −55%/chunk at (128,128),
+    tools/winograd_probe.py).
     """
     from ..models import forward as _xla_forward
 
@@ -1621,20 +1520,6 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         (l["w"].shape[0], l["w"].shape[2], l["w"].shape[3])
         for l in params[1:]
     )
-    # packed-row mode (see _xpack_weights / tools/xpack_probe2.py):
-    # None = auto = off pending on-chip measurement. Requires a folded
-    # or plane first layer (kpack ≤ 256 keeps it out of the XLA-conv1
-    # fallback), an all-f==3 tail, and the last layer on the MXU — the
-    # wrapper forces mm_last on (xpack's last layer needs no prepack,
-    # so the deep-stack eligibility check above does not apply).
-    if xpack is None:
-        xpack = False
-    xpack = bool(xpack) and kpack <= 256 and _xpack_stack(
-        ((1, kpack, n1),) + tail_dims, len(params), True)
-    if xpack:
-        mm_last = True
-        pack_last = 1
-        l1_dstep = 0  # dy-packed entry: incompatible with group stores
     # separated-phase f==3 middle layers (see _sep_layers): None = auto
     # = 128, i.e. every eligible layer — measured a monotone win on the
     # 7-layer RGB stack and a no-op on f≠3 middles like the flagship's
@@ -1645,22 +1530,19 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # patch first-layer forms.
     if sep_max_n is None:
         sep_max_n = 128
-    # dy-packed small-n middles (see _dypack_layers): None = auto = 0
-    # (off) pending on-chip measurement (tools/dypack_probe.py); dyp
-    # layers leave the sep set and keep the DEFAULT all-phase weight
-    # layout, so the prep exclusion below must mirror the kernel's set
-    # arithmetic.
-    if dypack_max_n is None:
-        dypack_max_n = 0
+    # Winograd mode (see _wino_layers): None = auto = OFF pending
+    # on-chip interleaved A/B (the dypack/xpack discipline). The
+    # eligible set depends on the first-layer form (plane excludes
+    # min_li=1), so each branch below computes its own prep set with
+    # the SAME shared function the kernel uses.
+    if wino is None:
+        wino = False
+    wino = bool(wino)
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
-    dyp_fold = _dypack_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
-                              len(params), prepack_max_deep, dypack_max_n)
-    sep_prep_fold = frozenset(li - 1 for li in sep_fold - dyp_fold)
-    sep_prep_tail = (
-        _sep_layers(tail_dims, len(params) - 1, prepack_max_deep, sep_max_n)
-        - _dypack_layers(tail_dims, len(params) - 1, prepack_max_deep,
-                         dypack_max_n))
+    sep_prep_fold = frozenset(li - 1 for li in sep_fold)
+    sep_prep_tail = _sep_layers(tail_dims, len(params) - 1,
+                                prepack_max_deep, sep_max_n)
     l1_gpack = 1
     l1_plane = l1_f = 0
     if plane_input is None:
@@ -1684,11 +1566,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # per 8-row × 128-col block (see the kernel's plane branch).
         win_dt = jnp.int8 if use_int8 else jnp.float32
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8, l1_rows)
-        wbs = [h_w, b8] + _prepare_tail_weights(
-            params[1:], dtype, pack_last, mm_last, sep_prep_fold,
-            xpack=xpack)
         l1_s = _plane_rows(l1_rows, f1)[1]
         dims = ((1, c1 * f1 * l1_s, n1),) + tail_dims
+        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=2)
+                    if wino else frozenset())
+        wbs = [h_w, b8] + _prepare_tail_weights(
+            params[1:], dtype, pack_last, mm_last,
+            sep_prep_fold - frozenset(li - 1 for li in wino_set),
+            wino_prep=frozenset(li - 1 for li in wino_set),
+            wino_mm=bool(wino_set))
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
         need_h, need_w, _, _ = _plane_pads(
             dims, out_hw[0], out_hw[1], tile_h, tile_w, win_dt,
@@ -1732,9 +1618,13 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             l1_dstep = 0
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
-        wbs += _prepare_tail_weights(params[1:], dtype, pack_last,
-                                     mm_last, sep_prep_fold,
-                                     xpack=xpack)
+        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1)
+                    if wino else frozenset())
+        wbs += _prepare_tail_weights(
+            params[1:], dtype, pack_last, mm_last,
+            sep_prep_fold - frozenset(li - 1 for li in wino_set),
+            wino_prep=frozenset(li - 1 for li in wino_set),
+            wino_mm=bool(wino_set))
         # build the patch array directly at the kernel's padded window
         # geometry: kills the tail's full-array pad copy (~2.85 ms/frame
         # measured on the flagship — see _window_pads)
@@ -1753,9 +1643,12 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
-        xpack = False  # kernel layer 0 is f==3 here: no packed entry
+        wino_set = (_wino_layers(dims, len(dims), mm_last, min_li=1)
+                    if wino else frozenset())
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last,
-                                    mm_last, sep_prep_tail)
+                                    mm_last, sep_prep_tail - wino_set,
+                                    wino_prep=wino_set,
+                                    wino_mm=bool(wino_set))
         a1 = _conv_first(x, w1, b1, relu=True, dtype=dtype)
         out_hw = None
     outs = [
@@ -1767,8 +1660,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            l1_rows=l1_rows,
                            prepack_max_deep=prepack_max_deep,
                            mm_last=mm_last, sep_max_n=sep_max_n,
-                           pipe_combine=pipe_combine,
-                           dypack_max_n=dypack_max_n, xpack=xpack)
+                           pipe_combine=pipe_combine, wino_on=wino)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

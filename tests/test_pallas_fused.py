@@ -470,44 +470,3 @@ def test_fused_sep_dots_layers():
                        sep_max_n=128)
     np.testing.assert_allclose(
         np.asarray(y5), np.asarray(forward(p5, x5)), rtol=1e-5, atol=1e-5)
-
-
-def test_fused_dypack_layers():
-    """dy-packed dots (dypack_max_n): eligible small-n f==3 middles run
-    ONE all-phase-layout matmul per chunk combined by row-shifted lane
-    slices on values (no Z scratch) — same math, so results must match
-    the XLA forward on shallow and deep stacks, multi-chunk tiles, and
-    with int8 inputs. Ineligible n (⌈f·n/128⌉ == f) must stay on sep."""
-    rng = np.random.default_rng(31)
-    # shallow: one 16->8 middle (dypack at thr>=8; f·n=24 → 1 MXU pass)
-    p3 = _params(rng, [(3, 1, 16), (3, 16, 8), (3, 8, 1)])
-    x3 = jnp.asarray(rng.standard_normal((1, 40, 136, 1)).astype(np.float32))
-    np.testing.assert_allclose(
-        np.asarray(fused_forward(p3, x3, tile_h=16, tile_w=128,
-                                 dtype=jnp.float32, dypack_max_n=64)),
-        np.asarray(forward(p3, x3)), rtol=1e-5, atol=1e-5)
-    # deep RGB-style: mixed n so thresholds carve different dyp sets;
-    # n=48 middles are eligible (f·n=144 → 2 passes < 3)
-    pd = _params(rng, [(3, 3, 8), (3, 8, 16), (3, 16, 48),
-                       (3, 48, 32), (3, 32, 3)])
-    xd = jnp.asarray(rng.standard_normal((1, 44, 140, 3)).astype(np.float32))
-    y_refd = np.asarray(forward(pd, xd))
-    for thr in (16, 48, 64):
-        yd = fused_forward(pd, xd, tile_h=16, tile_w=128,
-                           dtype=jnp.float32, dypack_max_n=thr)
-        np.testing.assert_allclose(np.asarray(yd), y_refd,
-                                   rtol=1e-5, atol=1e-5)
-    # plane first layer + dypack compose
-    yp = fused_forward(pd, xd, tile_h=16, tile_w=128, dtype=jnp.float32,
-                       dypack_max_n=64, plane_input=True)
-    np.testing.assert_allclose(np.asarray(yp), y_refd, rtol=1e-5, atol=1e-5)
-    # bf16 + int8 production wiring: dypack must track the sep baseline
-    # (same quantized input and stream dtype; only the dot scheme
-    # differs — the std-normal test input is outside int8's [−1,1]
-    # contract, so comparing to f32 would measure clipping, not dypack)
-    yq = fused_forward(pd, xd, tile_h=32, tile_w=128, input_int8=True,
-                       dypack_max_n=64)
-    yq0 = fused_forward(pd, xd, tile_h=32, tile_w=128, input_int8=True,
-                        dypack_max_n=0)
-    np.testing.assert_allclose(np.asarray(yq), np.asarray(yq0),
-                               rtol=2e-2, atol=2e-2)

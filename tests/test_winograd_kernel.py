@@ -1,0 +1,150 @@
+"""Winograd F(2x2,3x3) KERNEL MODE (``fused_forward(wino=True)``).
+
+The weight-prep math is pinned separately in test_winograd_prep.py;
+these tests drive the full kernel mode end-to-end in interpret mode
+against the XLA conv forward: parity-split producer store, factored
+BᵀdB transform + 16 position dots + incremental AᵀMA, the dx'-packed
+parity image feeding the half-res parity all-phase exit, and the XLA
+parity recombine. Reference math being accelerated:
+/root/reference/src/kernel/layer_uber_kernel.cl:59-95 at f=3.
+
+Eligibility contract (``_wino_layers``): f==3, k==128 exactly, and a
+consumer chain reaching an mm-eligible f==3 last layer with n_out<=16.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+from cnn_sr_tpu.models import forward  # noqa: E402
+from cnn_sr_tpu.ops.pallas_fused import (  # noqa: E402
+    _wino_layers,
+    fused_forward,
+)
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: slow lane
+
+
+def _params(rng, spec):
+    return [
+        {
+            "w": jnp.asarray(
+                rng.standard_normal((f, f, k, n)).astype(np.float32) * 0.1
+            ),
+            "b": jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1),
+        }
+        for f, k, n in spec
+    ]
+
+
+def test_wino_layers_eligibility():
+    """k==128 + f==3 + chain-to-mm-exit, computed back to front."""
+    # RGB-like: only the 128->128 layer (index 5) is eligible
+    dims = ((3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
+            (3, 64, 128), (3, 128, 128), (3, 128, 3))
+    assert _wino_layers(dims, 7, mm_last=True) == frozenset({5})
+    # chain: two k==128 layers, both eligible
+    dims2 = ((1, 81, 16), (3, 16, 128), (3, 128, 128), (3, 128, 128),
+             (3, 128, 2))
+    assert _wino_layers(dims2, 5, mm_last=True) == frozenset({2, 3})
+    # a k!=128 layer breaks the chain upstream (layer 1 has k==128 but
+    # its consumer layer 2 is k==64/not-wino, so only layer 3 qualifies)
+    dims3 = ((1, 81, 128), (3, 128, 64), (3, 64, 128), (3, 128, 128),
+             (3, 128, 2))
+    assert _wino_layers(dims3, 5, mm_last=True) == frozenset({3})
+    # no mm exit -> nothing (the parity domain has no other way out)
+    assert _wino_layers(dims, 7, mm_last=False) == frozenset()
+    # n_out too wide for the masked-reduction exit
+    dims4 = ((1, 81, 128), (3, 128, 128), (3, 128, 32))
+    assert _wino_layers(dims4, 3, mm_last=True) == frozenset()
+    # min_li=2 (plane first layer: its producer can't parity-store)
+    dims5 = ((1, 324, 128), (3, 128, 128), (3, 128, 128), (3, 128, 2))
+    assert _wino_layers(dims5, 4, mm_last=True) == frozenset({1, 2})
+    assert _wino_layers(dims5, 4, mm_last=True, min_li=2) == frozenset({2})
+
+
+def test_wino_kernel_single_layer_f32():
+    """sep producer -> wino layer -> parity mm exit (the production RGB
+    boundary structure) matches the XLA forward exactly in f32."""
+    rng = np.random.default_rng(7)
+    p = _params(rng, [(3, 2, 16), (3, 16, 128), (3, 128, 128), (3, 128, 2)])
+    x = jnp.asarray(rng.standard_normal((1, 28, 140, 2)).astype(np.float32))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+    # wino=False same config stays on the sep path and matches too
+    y0 = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                  dtype=jnp.float32, wino=False))
+    np.testing.assert_allclose(y0, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_kernel_chain_multitile():
+    """wino->wino parity-plane boundary + a multi-tile (2x3) grid:
+    plane stores, halo windows, and the parity recombine all compose."""
+    rng = np.random.default_rng(11)
+    p = _params(rng, [(3, 1, 16), (3, 16, 128), (3, 128, 128),
+                      (3, 128, 128), (3, 128, 2)])
+    x = jnp.asarray(rng.standard_normal((1, 48, 280, 1)).astype(np.float32))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_kernel_bf16_and_int8_track_sep():
+    """Production wiring (bf16 stream / int8 input): wino must track the
+    sep baseline within the stream dtype's own rounding envelope (the
+    std-normal input is outside int8's [-1,1] contract, so f32 is not
+    the right oracle there — same discipline as the historical dypack
+    test)."""
+    rng = np.random.default_rng(13)
+    p = _params(rng, [(3, 3, 8), (3, 8, 128), (3, 128, 128), (3, 128, 3)])
+    x = jnp.asarray((rng.random((1, 30, 140, 3)).astype(np.float32) - 0.5))
+    yb0 = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128, wino=False))
+    yb1 = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128, wino=True))
+    np.testing.assert_allclose(yb1, yb0, rtol=3e-2, atol=3e-2)
+    y4a = np.asarray(fused_forward(p, x, tile_h=32, tile_w=128,
+                                   input_int8=True, wino=True))
+    y4b = np.asarray(fused_forward(p, x, tile_h=32, tile_w=128,
+                                   input_int8=True, wino=False))
+    np.testing.assert_allclose(y4a, y4b, rtol=3e-2, atol=3e-2)
+
+
+def test_wino_kernel_plane_first_layer():
+    """plane_input=True (the compiled-TPU default) + wino compose; the
+    plane first layer's slab stores bypass store_act, so min_li=2 keeps
+    a layer-1 wino candidate OFF the parity path there."""
+    rng = np.random.default_rng(17)
+    p = _params(rng, [(3, 3, 8), (3, 8, 128), (3, 128, 128), (3, 128, 3)])
+    x = jnp.asarray((rng.random((1, 30, 140, 3)).astype(np.float32) - 0.5))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True,
+                                 plane_input=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_ineligible_configs_fall_through():
+    """wino=True on ineligible models is a no-op (identical to off):
+    flagship-like f=5 last layer, and k!=128 middles."""
+    rng = np.random.default_rng(19)
+    # f=5 last: no mm parity exit
+    p5 = _params(rng, [(3, 1, 16), (3, 16, 128), (5, 128, 1)])
+    x = jnp.asarray(rng.standard_normal((1, 32, 144, 1)).astype(np.float32))
+    y_ref = np.asarray(forward(p5, x))
+    y = np.asarray(fused_forward(p5, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+    # k=64 middles: under the k==128 gate
+    p64 = _params(rng, [(3, 1, 16), (3, 16, 64), (3, 64, 64), (3, 64, 1)])
+    y_ref = np.asarray(forward(p64, x))
+    y = np.asarray(fused_forward(p64, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
