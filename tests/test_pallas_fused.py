@@ -1,6 +1,12 @@
 """Pallas fused-forward kernel tests (interpret mode on CPU): must match
 the XLA path exactly across tile geometries, including odd image sizes
-and the 9-5-5 flagship shape class."""
+and the 9-5-5 flagship shape class.
+
+Slow lane: interpret-mode Pallas walks dominate the suite (~5 min for
+this file alone), so the default ``pytest tests/`` run skips it — run
+``pytest tests/ -m ""`` (or ``-m slow``) for the full lane. Fast-lane
+kernel coverage remains via tests/test_api.py's fused-path tests, which
+drive ``fused_forward`` end-to-end at small shapes."""
 
 import numpy as np
 import pytest
@@ -10,6 +16,8 @@ import jax.numpy as jnp
 
 from cnn_sr_tpu.models import forward
 from cnn_sr_tpu.ops.pallas_fused import fused_forward
+
+pytestmark = pytest.mark.slow
 
 
 def _params(rng, specs):

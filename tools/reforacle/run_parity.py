@@ -140,12 +140,29 @@ def mint_config(path, params_file=None, out_params=None):
     return path
 
 
+def psnr_y(a_rgb, b_rgb):
+    """PSNR over Rec.601 luma of two uint8 RGB arrays (the BASELINE.md
+    north-star metric: PSNR(Y) ours-vs-binary)."""
+    def luma(x):
+        x = x.astype(np.float64)
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    mse = np.mean((luma(a_rgb) - luma(b_rgb)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-dir", default="/tmp/refbuild")
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--keep", action="store_true",
                     help="keep the scratch dir (print its path)")
+    ap.add_argument("--psnr-set", action="store_true",
+                    help="stage 3: forward the pretrained 9-5-5 on real "
+                         "photos through BOTH engines; PSNR(Y) table")
+    ap.add_argument("--drift-epochs", default="",
+                    help="stage 4: comma list (e.g. 10,25,50,100) — train "
+                         "parity drift curve at a flagship-shaped config")
     args = ap.parse_args()
 
     exe = build_binary(args.build_dir)
@@ -260,6 +277,111 @@ def main():
     d3 = np.abs(ours_fww - ref2)
     check("trained_nets_output_close", d3.max() <= 1,
           max_diff=int(d3.max()), pct_equal=float((d3 == 0).mean()))
+
+    # ---- 3. PSNR(Y) on real photos, pretrained flagship weights ---------
+    # (VERDICT r2 missing #1: the literal BASELINE metric — PSNR(Y) on a
+    # Set5-like real-photo set, ours vs the ACTUAL reference binary with
+    # SHARED weights. Images: the reference repo's own committed photos
+    # + this repo's demo shots, re-encoded to PNG so both engines decode
+    # identical pixels — stb vs libjpeg JPEG fingerprints differ.)
+    def mint_cfg955(path, params_file):
+        cfg = {
+            "n1": 64, "n2": 32, "f1": 9, "f2": 5, "f3": 5,
+            "momentum": 0.9, "weight_decay_parameter": 0.0001,
+            "learning_rates": [0.0001, 0.0001, 0.00001],
+            "parameters_file": params_file,
+            **{f"parameters_distribution_{i}": {
+                "mean_w": 0.0, "mean_b": 0.0,
+                "std_deviation_w": 0.005, "std_deviation_b": 0.0,
+            } for i in (1, 2, 3)},
+        }
+        with open(path, "w") as f:
+            json.dump(cfg, f, indent=1)
+        return path
+
+    if args.psnr_set:
+        pre_path = os.path.join(REPO, "pretrained",
+                                "srcnn_9-5-5_synthetic.json")
+        cfg955_path = mint_cfg955(os.path.join(scratch, "cfg955.json"),
+                                  pre_path)
+        raw955 = json.loads(open(cfg955_path).read())
+        raw955["subtract_squared_mean"] = True
+        cfg955 = parse_config(raw955, base_dir=scratch)
+        params955, _ = load_parameters_file(pre_path, cfg955.layer_specs())
+        photos = [
+            ("ref_compare", os.path.join(REPO, "..", "reference", "images",
+                                         "compare.jpg")),
+            ("ref_details", os.path.join(REPO, "..", "reference", "images",
+                                         "details.jpg")),
+            ("demo_gt", os.path.join(REPO, "docs", "demo", "demo_gt.png")),
+            ("rgb_demo_gt", os.path.join(REPO, "docs", "demo",
+                                         "rgb_demo_gt.png")),
+            ("synth", None),
+        ]
+        for name, src in photos:
+            if src is None:
+                rgb = synth_image(304, 226, seed=21)
+            elif not os.path.exists(src):
+                continue
+            else:
+                rgb = np.asarray(Image.open(src).convert("RGB"))[:240, :320]
+            p_in = os.path.join(scratch, f"psnr_{name}.png")
+            save_png(p_in, rgb)
+            p_out = os.path.join(scratch, f"psnr_{name}_ref.png")
+            run_binary(exe, run_dir, ["-c", cfg955_path, "-i", p_in,
+                                      "-o", p_out])
+            ref_px = np.asarray(Image.open(p_out))[..., :3].astype(np.int32)
+            rgba_in = np.asarray(Image.open(p_in).convert("RGBA"))
+            ours_px = upscale_image(cfg955, params955, rgba_in
+                                    ).astype(np.int32)[..., :3]
+            d = np.abs(ours_px - ref_px)
+            p = psnr_y(ours_px.astype(np.uint8), ref_px.astype(np.uint8))
+            check(f"psnr_y_{name}", d.max() <= 1 and p >= 80.0,
+                  shape=list(rgb.shape[:2]), max_diff=int(d.max()),
+                  pct_equal=round(float((d == 0).mean()), 6),
+                  psnr_y_db=round(float(p), 2))
+
+    # ---- 4. long-horizon train-parity drift curve -----------------------
+    # (VERDICT r2 missing #2: momentum-amplified rounding drift only
+    # shows at horizon. Flagship-shaped 9-5-5 64/32, 5 identical 64x64
+    # samples — restarts are deterministic, so params after a fresh
+    # e-epoch run == the e-epoch point of a longer run.)
+    if args.drift_epochs:
+        drift_pts = [int(x) for x in args.drift_epochs.split(",")]
+        init955 = os.path.join(scratch, "init955.json")
+        cfg955d_path = mint_cfg955(os.path.join(scratch, "cfg955d.json"),
+                                   init955)
+        raw955 = json.loads(open(cfg955d_path).read())
+        raw955["subtract_squared_mean"] = True
+        cfg955d = parse_config(raw955, base_dir=scratch)
+        p0 = random_parameters(cfg955d.layer_specs(), cfg955d.distributions,
+                               seed=17)
+        save_parameters_file(init955, p0, epochs=0)
+        curve = []
+        for e in drift_pts:
+            ref_out_p = os.path.join(scratch, f"drift_ref_{e}.json")
+            run_binary(exe, run_dir, [
+                "train", "-c", cfg955d_path, "-i", sdir,
+                "-e", str(e), "-o", ref_out_p])
+            st = init_train_state(cfg955d)
+            train_loop(cfg955d, samples, st, e, validation_percent=20,
+                       mini_batch_count=2, seed=0, log=lambda s: None)
+            rp, _ = load_parameters_file(ref_out_p, cfg955d.layer_specs())
+            mr = 0.0
+            for lp_, rp_ in zip(st.params, rp):
+                for key in ("w", "b"):
+                    a, b = np.asarray(lp_[key]), np.asarray(rp_[key])
+                    denom = np.maximum(np.abs(b), 1e-3)
+                    mr = max(mr, float(np.max(np.abs(a - b) / denom)))
+            curve.append({"epochs": e, "max_rel_diff": mr})
+            print(json.dumps({"drift_point": e, "max_rel_diff": mr}))
+        # gate: bounded drift at the horizon and no superlinear bend
+        # (drift/epoch at the last point within 10x of the first's —
+        # a semantic mismatch would blow this up by orders)
+        rate0 = max(curve[0]["max_rel_diff"], 1e-12) / curve[0]["epochs"]
+        rateN = curve[-1]["max_rel_diff"] / curve[-1]["epochs"]
+        check("train_drift_curve", curve[-1]["max_rel_diff"] < 1e-2
+              and rateN < 10 * rate0 + 1e-9, curve=curve)
 
     ok = not FAILS
     print(f"PARITY: {'ok' if ok else 'FAIL ' + ','.join(FAILS)}")
