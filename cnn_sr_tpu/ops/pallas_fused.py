@@ -150,6 +150,26 @@ _WINO_BT = ((1, 0, -1, 0), (0, 1, 1, 0), (0, -1, 1, 0), (0, 1, 0, -1))
 _WINO_AT = ((1, 1, 1, 0), (0, 1, -1, -1))
 
 
+def _wino_tc(ws, li):
+    """Winograd tile-column count for wino layer ``li``: the half-res
+    output width rounded UP to 16 — the (rows, tc, k) → (rows·tc, k)
+    operand collapse before each of the 16 position dots is only a free
+    relayout-less view when tc fills whole bf16 sublane tiles (the same
+    8-alignment lesson as the ws chain, one tile size up). The probe
+    ran TC=128 and won; an unaligned 132 made every dot pay a
+    tile-shuffling copy (measured 28.6 vs 18.2 ms full-kernel,
+    2026-08-20). Extra columns read over-allocated garbage lanes and
+    emit garbage outputs that stay in their own columns."""
+    return -(-(ws[li + 1] // 2) // 16) * 16
+
+
+def _wino_w_in(ws, li):
+    """Width of wino layer ``li``'s parity-plane input ref: must hold
+    the producer's parity store (ws[li]//2 cols, 8-aligned) AND the tap
+    over-read (tc + 1 cols, 8-aligned ⇒ tc + 8 at 16-multiple tc)."""
+    return max(-(-(ws[li] // 2) // 8) * 8, _wino_tc(ws, li) + 8)
+
+
 def _wino_layers(dims, n_layers, mm_last, min_li=1):
     """Middle layers running Winograd F(2x2,3x3) in the parity domain.
 
@@ -687,7 +707,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # −55% vs sep at (128,128), −43% at (128,64) per chunk.
                 if "mid" in _DEBUG_SKIP:
                     continue  # triage
-                tr_l, tc_l = oh // 2, ow // 2
+                tr_l, tc_l = oh // 2, _wino_tc(ws, li)
                 last_cons = wino_mm and li == n_layers - 2
 
                 def wtap(a_p, b_p, t0, rows, *, src=src, k=k,
@@ -739,6 +759,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                             # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
                             # copies (the f'=2 all-phase prepack)
                             wlast = act_refs[li].shape[1]
+                            assert wlast + 1 <= tc_l
                             for dxp in range(2):
                                 act_refs[li][
                                     t0 : t0 + rows, :,
@@ -747,11 +768,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                 ] = val[:, dxp : dxp + wlast]
                         else:
                             # next wino layer's parity planes: plane =
-                            # row parity p, lane group = col parity q
+                            # row parity p, lane group = col parity q.
+                            # Clip to the ref (16-aligned tc can exceed
+                            # it); unwritten tail cols are garbage that
+                            # only feeds garbage output columns.
+                            wt = min(tc_l, act_refs[li].shape[2])
                             act_refs[li][
-                                pq // 2, t0 : t0 + rows, 0:tc_l,
+                                pq // 2, t0 : t0 + rows, 0:wt,
                                 (pq % 2) * n : (pq % 2 + 1) * n,
-                            ] = val
+                            ] = val[:, 0:wt]
                 continue
 
             if wino_mm and li == n_layers - 1:
@@ -1145,9 +1170,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         # the consumer's output width
         if li + 1 in wino:
             # a wino layer's parity-plane input: (row parity, row/2,
-            # col/2 8-padded, col-parity lane groups of k)
+            # col/2 — sized for the producer store AND the 16-aligned
+            # tap over-read (_wino_w_in), col-parity lane groups of k)
             shape = (2, hs[li + 1] // 2,
-                     -(-(ws[li + 1] // 2) // 8) * 8, 2 * ns[li])
+                     _wino_w_in(ws, li + 1), 2 * ns[li])
         elif li in wino:
             # wino output feeding the mm exit: dx'-packed 4k-lane
             # parity image at half resolution
