@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-int8", action="store_true",
                    help="triage the bf16 patch array instead of the "
                         "production int8 default")
+    p.add_argument("--wino", action="store_true",
+                   help="triage the Winograd F(2x2,3x3) mode "
+                        "(fused_forward(wino=True))")
     args = p.parse_args(argv)
 
     import jax
@@ -74,7 +77,8 @@ def main(argv=None) -> int:
         def chained(a):
             def body(c, _):
                 y = pallas_fused.fused_forward(
-                    params, c, input_int8=not args.no_int8)
+                    params, c, input_int8=not args.no_int8,
+                    wino=args.wino or None)
                 return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
             return lax.scan(body, a, None, length=args.iters)[0]
 

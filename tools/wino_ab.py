@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Interleaved on-chip A/B: 7-layer RGB frame, Winograd mode on vs off.
+
+Measures the MARGINAL per-frame cost (two scan lengths, slope — the
+docs/BENCHMARKS.md methodology that subtracts the tunnel's fixed
+dispatch latency) for ``fused_forward(..., wino=False)`` (the shipping
+sep path) and ``wino=True`` (Winograd F(2x2,3x3) parity-domain mode),
+alternating A/B within each round so tunnel drift hits both equally.
+
+Run serialized (never concurrently with another TPU process):
+
+    JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache python tools/wino_ab.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--iters", type=int, default=12,
+                   help="long scan length (short = iters//3)")
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--no-int8", action="store_true")
+    p.add_argument("--parity", action="store_true",
+                   help="also print wino-vs-sep max|diff| on chip")
+    args = p.parse_args(argv)
+
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cnn_sr_tpu.ops import pallas_fused
+    from cnn_sr_tpu.utils.config import parse_config
+    from cnn_sr_tpu.utils.params_io import random_parameters
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "waifu2x_7layer_rgb.json")
+    with open(cfg_path) as fh:
+        cfg = parse_config(json.load(fh))
+    pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
+    params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+              for l in pnp]
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (1, args.height, args.width, 3), np.float32) - 0.5)
+
+    import functools
+
+    def make(wino):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chained(a, n):
+            def body(c, _):
+                y = pallas_fused.fused_forward(
+                    params, c, input_int8=not args.no_int8, wino=wino)
+                return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
+            return lax.scan(body, a, None, length=n)[0]
+        return chained
+
+    variants = {"sep": make(False), "wino": make(True)}
+    short, long_ = max(1, args.iters // 3), args.iters
+
+    if args.parity:
+        ya = np.asarray(pallas_fused.fused_forward(
+            params, x, input_int8=not args.no_int8, wino=False))
+        yb = np.asarray(pallas_fused.fused_forward(
+            params, x, input_int8=not args.no_int8, wino=True))
+        print(f"parity max|diff| = {np.abs(ya - yb).max():.3e}")
+
+    def run(fn, n) -> float:
+        from functools import partial
+        f = partial(fn, n=n)
+        t0 = time.perf_counter()
+        _ = np.asarray(f(x)[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    # warmup/compile both variants, both lengths
+    for name, fn in variants.items():
+        for n in (short, long_):
+            run(fn, n)
+
+    results = {k: [] for k in variants}
+    for r in range(args.rounds):
+        for name, fn in variants.items():
+            ts = run(fn, short)
+            tl = run(fn, long_)
+            ms = (tl - ts) / (long_ - short) * 1e3
+            results[name].append(ms)
+            print(f"round {r} {name:5s}: {ms:7.2f} ms/frame "
+                  f"(short {ts*1e3:.0f} ms, long {tl*1e3:.0f} ms)")
+    mpx = args.height * args.width / 1e6
+    for name, ms in results.items():
+        best = min(ms)
+        print(f"{name:5s}: best {best:6.2f} ms/frame = "
+              f"{mpx / best * 1e3:6.1f} MPix/s  (all: "
+              + ", ".join(f"{m:.2f}" for m in ms) + ")")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
