@@ -936,6 +936,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 continue
 
             if li in sep:
+                if "mid" in _DEBUG_SKIP:
+                    continue  # triage: sep layers are "mid" stages too
                 # ---- separated-phase dots (small-n middle layers) ----
                 # out[i] = Σ_dy P[i+dy] @ w[dy]: f row-shifted dots
                 # against per-dy weight slabs (rows dy·f·k..(dy+1)·f·k
