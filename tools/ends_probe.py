@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--stages", action="store_true",
+                   help="per-stage marginals (L4/L5/last), sep vs wino")
     args = p.parse_args(argv)
 
     import json
@@ -89,13 +91,24 @@ def main(argv=None) -> int:
                       "b": params[-1]["b"][:1]}
     x1 = x[..., :1]
 
-    variants = {
-        "full": build(frozenset(), False),
-        "empty": build(SKIP_ALL, False),
-        "wino_empty": build(SKIP_ALL, True),
-        "empty540": build_on(SKIP_ALL, False, params, x540),
-        "empty_1ch": build_on(SKIP_ALL, False, params_1ch, x1),
-    }
+    if args.stages:
+        # per-stage marginals, sep vs wino: the L4 delta carries the
+        # parity store (store_act runs in the producer's stage), the L5
+        # delta the wino/sep formulation, "last" the exit vs mm_last
+        variants = {}
+        for wino in (False, True):
+            tag = "wino" if wino else "sep"
+            variants[f"{tag}_full"] = build(frozenset(), wino)
+            for st in ("L4", "L5", "last"):
+                variants[f"{tag}_-{st}"] = build(frozenset({st}), wino)
+    else:
+        variants = {
+            "full": build(frozenset(), False),
+            "empty": build(SKIP_ALL, False),
+            "wino_empty": build(SKIP_ALL, True),
+            "empty540": build_on(SKIP_ALL, False, params, x540),
+            "empty_1ch": build_on(SKIP_ALL, False, params_1ch, x1),
+        }
 
     short, long_ = max(1, args.iters // 3), args.iters
 
@@ -118,6 +131,11 @@ def main(argv=None) -> int:
               f"XLA ends + grid ≈ {best['empty']:.2f} ms; "
               f"wino recombine tax ≈ "
               f"{best['wino_empty'] - best['empty']:.2f} ms")
+    if args.stages:
+        for tag in ("sep", "wino"):
+            full = best[f"{tag}_full"]
+            for st in ("L4", "L5", "last"):
+                print(f"{tag} {st}: {full - best[f'{tag}_-{st}']:.2f} ms")
     return 0
 
 
