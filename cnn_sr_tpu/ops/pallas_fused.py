@@ -1569,13 +1569,18 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # patch first-layer forms.
     if sep_max_n is None:
         sep_max_n = 128
-    # Winograd mode (see _wino_layers): None = auto = OFF pending
-    # on-chip interleaved A/B (the dypack/xpack discipline). The
-    # eligible set depends on the first-layer form (plane excludes
+    # Winograd mode (see _wino_layers): None = auto = ON for compiled
+    # TPU runs after the measured interleaved win (15.56 vs sep 16.04
+    # ms/frame, 4/4 rounds, 2026-08-21 — the one-axis-at-a-time parity
+    # recombine closed the integration gap; docs/BENCHMARKS.md).
+    # Interpret mode (CPU tests) keeps sep: the 16-position unroll
+    # makes interpret walks several times slower, mirroring the
+    # plane_input auto rule; dedicated wino tests pass wino=True.
+    # The eligible set depends on the first-layer form (plane excludes
     # min_li=1), so each branch below computes its own prep set with
     # the SAME shared function the kernel uses.
     if wino is None:
-        wino = False
+        wino = not interpret
     wino = bool(wino)
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
