@@ -173,12 +173,17 @@ def _wino_w_in(ws, li):
 def _wino_layers(dims, n_layers, mm_last, min_li=1):
     """Middle layers running Winograd F(2x2,3x3) in the parity domain.
 
-    Eligible (computed back to front): f == 3, k == 128 EXACTLY (the
-    producer's parity repack strided-loads a (rows, w, k) f32 scratch
-    and Mosaic strided ops require a 128-lane memref), and a consumer
-    that reads parity — either another wino layer or the last layer
-    under ``mm_last`` with f == 3 and n_out ≤ 16 (its half-res
-    all-phase dot carries 2·4·n_out Z lanes). ``min_li`` excludes
+    Eligible (computed back to front): f == 3, k ∈ {64, 128} (the
+    parity-plane input ref carries 2k col-parity lanes, and Mosaic
+    strided ops — used by the producer's parity repack — require a
+    128-lane memref: k == 128 strides a (rows, w, 128) f32 scratch
+    directly, k == 64 routes row parity into the lane halves first so
+    2k == 128; see ``store_act``), and a consumer that reads parity —
+    either another wino layer or the last layer under ``mm_last`` with
+    f == 3 and n_out ≤ 16 (its half-res all-phase dot carries 2·4·n_out
+    Z lanes). k == 64 layers run position-PAIRED dots (8 block-diagonal
+    (128, 2n) dots instead of 16 K-underfilled (64, n) ones — the
+    probe's k=64 loss was pure K-underfill). ``min_li`` excludes
     layers whose producer does not store via ``store_act`` (the plane
     first layer under min_li=2). Tile evenness is the caller's gate.
     Shared by the kernel and ``fused_forward`` weight prep."""
@@ -189,20 +194,40 @@ def _wino_layers(dims, n_layers, mm_last, min_li=1):
     last_ok = mm_last and fs[-1] == 3 and ns[-1] <= 16
     for li in range(n_layers - 2, min_li - 1, -1):
         cons_ok = (li + 1 in elig) or (li + 2 == n_layers and last_ok)
-        if fs[li] == 3 and ks[li] == 128 and cons_ok:
+        if fs[li] == 3 and ks[li] in (64, 128) and cons_ok:
             elig.add(li)
     return frozenset(elig)
 
 
 def _wino_weights(w, dtype):
-    """(3,3,k,n) HWIO → (16k, n): rows (4a+b)·k + c hold the Winograd-
-    transformed U = G g Gᵀ per (c, n) — position pos = 4a+b matches the
-    kernel's ``w_ref[pos·k : (pos+1)·k]`` slabs."""
+    """(3,3,k,n) HWIO → the kernel's position-slab layout.
+
+    k == 128: (16k, n) — rows (4a+b)·k + c hold the Winograd-
+    transformed U = G g Gᵀ per (c, n); position pos = 4a+b matches the
+    kernel's ``w_ref[pos·k : (pos+1)·k]`` slabs.
+
+    k == 64 (position-PAIRED): (8·128, 2n) — slab pa·2 + pbp (128 rows)
+    is the block-diagonal of U[pa, 2·pbp] (rows 0:64, cols 0:n) and
+    U[pa, 2·pbp + 1] (rows 64:128, cols n:2n). The paired operand's
+    lane halves hold V[pa][2·pbp] and V[pa][2·pbp+1] channels (the
+    parity-plane tap loads deliver both col parities in one 128-lane
+    read), so one dot yields both positions' Y contributions in its
+    column halves at full MXU K-fill."""
     f, _, k, n = w.shape
     g_m = jnp.asarray(
         [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
     u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
                    jnp.asarray(w, jnp.float32))
+    if k == 64:
+        wp = jnp.zeros((4, 2, 2 * k, 2 * n), jnp.float32)
+        for pa in range(4):
+            for pbp in range(2):
+                for half in range(2):
+                    wp = wp.at[
+                        pa, pbp, half * k : (half + 1) * k,
+                        half * n : (half + 1) * n,
+                    ].set(u[pa, 2 * pbp + half])
+        return wp.reshape(16 * k, 2 * n).astype(dtype)
     return u.reshape(16 * k, n).astype(dtype)
 
 
@@ -648,8 +673,31 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # are even when f is odd and oh is even — both gated).
                 m = r1 - r0
                 s_ref = ps_refs[ps_idx[li + 1]]
-                s_ref[0:m] = v.astype(jnp.float32)
                 w_half = ws[li + 1] // 2
+                if n == 64:
+                    # k == 64 entry: Mosaic strided ops need a 128-lane
+                    # memref, so route ROW parity into the lane halves
+                    # first (plain stores of the value's alternate
+                    # rows — a leading-dim stride on a value is a
+                    # register selection), then ONE col-parity strided
+                    # load per q on the (m/2, w, 128) scratch, split
+                    # back into the act ref's row-parity planes by
+                    # lane-half slices.
+                    s_ref[0 : m // 2, :, 0:64] = (
+                        v[0::2].astype(jnp.float32))
+                    s_ref[0 : m // 2, :, 64:128] = (
+                        v[1::2].astype(jnp.float32))
+                    for q_c in range(2):
+                        sl = s_ref[0 : m // 2, q_c :: 2]
+                        for p_r in range(2):
+                            act_refs[li][
+                                p_r, r0 // 2 : r0 // 2 + m // 2,
+                                0:w_half, q_c * n : (q_c + 1) * n,
+                            ] = sl[:, 0:w_half,
+                                   p_r * 64 : (p_r + 1) * 64].astype(
+                                       act_dts[li])
+                    return
+                s_ref[0:m] = v.astype(jnp.float32)
                 for p_r in range(2):
                     for q_c in range(2):
                         act_refs[li][
@@ -716,6 +764,116 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                + rows, b_p // 2 : b_p // 2 + tc_l,
                                (b_p % 2) * k : (b_p % 2 + 1) * k]
 
+                def emit_ys(ys, t0, rows, *, li=li, n=n, tc_l=tc_l,
+                            last_cons=last_cons, act_dt=act_dt,
+                            b_ref=b_ref):
+                    for pq in range(4):
+                        val = jnp.maximum(
+                            ys[pq].reshape(rows, tc_l, n) + b_ref[...],
+                            0.0).astype(act_dt)
+                        if last_cons:
+                            # dx'-packed parity image for the mm exit:
+                            # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
+                            # copies (the f'=2 all-phase prepack)
+                            wlast = act_refs[li].shape[1]
+                            assert wlast + 1 <= tc_l
+                            for dxp in range(2):
+                                act_refs[li][
+                                    t0 : t0 + rows, :,
+                                    dxp * 4 * n + pq * n
+                                    : dxp * 4 * n + (pq + 1) * n,
+                                ] = val[:, dxp : dxp + wlast]
+                        else:
+                            # next wino layer's parity planes: plane =
+                            # row parity p, lane group = col parity q.
+                            # Clip to the ref (16-aligned tc can exceed
+                            # it); unwritten tail cols are garbage that
+                            # only feeds garbage output columns.
+                            wt = min(tc_l, act_refs[li].shape[2])
+                            act_refs[li][
+                                pq // 2, t0 : t0 + rows, 0:wt,
+                                (pq % 2) * n : (pq % 2 + 1) * n,
+                            ] = val[:, 0:wt]
+
+                if k == 64:
+                    # ---- position-PAIRED k==64 path ----
+                    # The parity planes carry both col parities in one
+                    # 128-lane read (2k == 128), so a tap-pair load at
+                    # col jp delivers tile-cols (2jp, 2jp+1) in its lane
+                    # halves. The BᵀdB row combos stay paired
+                    # (full-lane VPU); the col combos mix the middle
+                    # tile-cols across pair boundaries — one 64-lane
+                    # roll + select per pa builds the duplicated-half
+                    # operands (32-bit only ⇒ f32 transforms). 8
+                    # block-diagonal (128, 2n) dots (see _wino_weights)
+                    # then yield both positions' Y contributions per
+                    # dot at full MXU K-fill — the probe's k=64 loss
+                    # was pure K-underfill (docs/BENCHMARKS.md).
+                    m_l = None  # lane iota, built once per group shape
+
+                    for t0 in range(0, tr_l, _WINO_TRG):
+                        rows = min(_WINO_TRG, tr_l - t0)
+                        mrow = rows * tc_l
+                        if m_l is None or m_l.shape[0] != mrow:
+                            m_l = jax.lax.broadcasted_iota(
+                                jnp.int32, (mrow, 128), 1) < 64
+                        ys = [None] * 4
+                        for pa in range(4):
+                            i1, i2 = [i for i in range(4)
+                                      if _WINO_BT[pa][i] != 0]
+                            def tpair(i_p, jp, *, src=src, t0=t0,
+                                      rows=rows, tc_l=tc_l, mrow=mrow):
+                                # full-lane read: both col parities of
+                                # tile-cols (2jp, 2jp+1) in lane halves
+                                return src[
+                                    i_p % 2, i_p // 2 + t0
+                                    : i_p // 2 + t0 + rows,
+                                    jp : jp + tc_l, 0:128,
+                                ].astype(jnp.float32).reshape(mrow, 128)
+
+                            rsp = []
+                            for jp in range(2):
+                                d1 = tpair(i1, jp)
+                                d2 = tpair(i2, jp)
+                                d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
+                                rsp.append(
+                                    d1 + d2 if _WINO_BT[pa][i2] > 0
+                                    else d1 - d2)
+                            # rsp[0] = [rs0 | rs1], rsp[1] = [rs2 | rs3]
+                            # V pairs (BT cols): vp0 = [rs0−rs2 | rs1+rs2]
+                            #                    vp1 = [rs2−rs1 | rs1−rs3]
+                            r1l = pltpu.roll(rsp[1], 64, axis=1)
+                            h0d = jnp.where(m_l, rsp[1], r1l)  # [rs2|rs2]
+                            vp0 = rsp[0] + jnp.where(m_l, -h0d, h0d)
+                            r0l = pltpu.roll(rsp[0], 64, axis=1)
+                            h1d = jnp.where(m_l, r0l, rsp[0])  # [rs1|rs1]
+                            vp1 = (jnp.where(m_l, -h1d, h1d)
+                                   + jnp.where(m_l, rsp[1], -rsp[1]))
+                            for pbp, vp in ((0, vp0), (1, vp1)):
+                                mdot = jax.lax.dot_general(
+                                    vp.astype(dtype),
+                                    w_ref[(pa * 2 + pbp) * 128
+                                          : (pa * 2 + pbp + 1) * 128],
+                                    dimension_numbers=(((1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32)
+                                for half in range(2):
+                                    pb = 2 * pbp + half
+                                    mh = None
+                                    for pq in range(4):
+                                        c = (_WINO_AT[pq // 2][pa]
+                                             * _WINO_AT[pq % 2][pb])
+                                        if c == 0:
+                                            continue
+                                        if mh is None:
+                                            mh = mdot[:, half * n
+                                                      : (half + 1) * n]
+                                        t = mh if c > 0 else -mh
+                                        ys[pq] = (t if ys[pq] is None
+                                                  else ys[pq] + t)
+                        emit_ys(ys, t0, rows)
+                    continue
+
                 for t0 in range(0, tr_l, _WINO_TRG):
                     rows = min(_WINO_TRG, tr_l - t0)
                     ys = [None] * 4
@@ -750,33 +908,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                     t = mdot if c > 0 else -mdot
                                     ys[pq] = (t if ys[pq] is None
                                               else ys[pq] + t)
-                    for pq in range(4):
-                        val = jnp.maximum(
-                            ys[pq].reshape(rows, tc_l, n) + b_ref[...],
-                            0.0).astype(act_dt)
-                        if last_cons:
-                            # dx'-packed parity image for the mm exit:
-                            # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
-                            # copies (the f'=2 all-phase prepack)
-                            wlast = act_refs[li].shape[1]
-                            assert wlast + 1 <= tc_l
-                            for dxp in range(2):
-                                act_refs[li][
-                                    t0 : t0 + rows, :,
-                                    dxp * 4 * n + pq * n
-                                    : dxp * 4 * n + (pq + 1) * n,
-                                ] = val[:, dxp : dxp + wlast]
-                        else:
-                            # next wino layer's parity planes: plane =
-                            # row parity p, lane group = col parity q.
-                            # Clip to the ref (16-aligned tc can exceed
-                            # it); unwritten tail cols are garbage that
-                            # only feeds garbage output columns.
-                            wt = min(tc_l, act_refs[li].shape[2])
-                            act_refs[li][
-                                pq // 2, t0 : t0 + rows, 0:wt,
-                                (pq % 2) * n : (pq % 2 + 1) * n,
-                            ] = val[:, 0:wt]
+                    emit_ys(ys, t0, rows)
                 continue
 
             if wino_mm and li == n_layers - 1:
@@ -1207,7 +1339,13 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
         )
     for li in ps_idx:  # producer-side parity-split scratch (f32)
+        # k == 64 entries route row parity into the lane halves first
+        # (lane = rowpar·64 + c) so the col-parity strided loads see a
+        # 128-lane memref (the Mosaic constraint); k == 128 strides the
+        # flat (rows, w, 128) store directly
         scratch_shapes.append(
+            pltpu.VMEM((chunk_rows // 2, ws[li], 128), jnp.float32)
+            if ks[li] == 64 else
             pltpu.VMEM((chunk_rows, ws[li], ks[li]), jnp.float32)
         )
 

@@ -44,20 +44,23 @@ def _params(rng, spec):
 
 
 def test_wino_layers_eligibility():
-    """k==128 + f==3 + chain-to-mm-exit, computed back to front."""
-    # RGB-like: only the 128->128 layer (index 5) is eligible
+    """k ∈ {64, 128} + f==3 + chain-to-mm-exit, computed back to
+    front (k == 64 layers run position-paired dots)."""
+    # RGB-like: the 64->64, 64->128, and 128->128 layers all chain
     dims = ((3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
             (3, 64, 128), (3, 128, 128), (3, 128, 3))
-    assert _wino_layers(dims, 7, mm_last=True) == frozenset({5})
+    assert _wino_layers(dims, 7, mm_last=True) == frozenset({3, 4, 5})
     # chain: two k==128 layers, both eligible
     dims2 = ((1, 81, 16), (3, 16, 128), (3, 128, 128), (3, 128, 128),
              (3, 128, 2))
     assert _wino_layers(dims2, 5, mm_last=True) == frozenset({2, 3})
-    # a k!=128 layer breaks the chain upstream (layer 1 has k==128 but
-    # its consumer layer 2 is k==64/not-wino, so only layer 3 qualifies)
+    # k==64 chains too now; a k not in {64, 128} breaks the chain
     dims3 = ((1, 81, 128), (3, 128, 64), (3, 64, 128), (3, 128, 128),
              (3, 128, 2))
-    assert _wino_layers(dims3, 5, mm_last=True) == frozenset({3})
+    assert _wino_layers(dims3, 5, mm_last=True) == frozenset({1, 2, 3})
+    dims3b = ((1, 81, 128), (3, 128, 48), (3, 48, 128), (3, 128, 128),
+              (3, 128, 2))
+    assert _wino_layers(dims3b, 5, mm_last=True) == frozenset({3})
     # no mm exit -> nothing (the parity domain has no other way out)
     assert _wino_layers(dims, 7, mm_last=False) == frozenset()
     # n_out too wide for the masked-reduction exit
@@ -142,10 +145,26 @@ def test_wino_ineligible_configs_fall_through():
     y = np.asarray(fused_forward(p5, x, tile_h=16, tile_w=128,
                                  dtype=jnp.float32, wino=True))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
-    # k=64 middles: under the k==128 gate
-    p64 = _params(rng, [(3, 1, 16), (3, 16, 64), (3, 64, 64), (3, 64, 1)])
-    y_ref = np.asarray(forward(p64, x))
-    y = np.asarray(fused_forward(p64, x, tile_h=16, tile_w=128,
+    # k=48 middles: outside the k ∈ {64, 128} gate
+    p48 = _params(rng, [(3, 1, 16), (3, 16, 48), (3, 48, 48), (3, 48, 1)])
+    y_ref = np.asarray(forward(p48, x))
+    y = np.asarray(fused_forward(p48, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_kernel_paired_k64_chain():
+    """The k==64 position-paired path, end to end at f32: sep producer
+    (n=64 → the row-parity-into-lane-halves entry store), a 64→64 and
+    a 64→128 paired wino layer, the 128→128 unpaired layer, and the
+    parity mm exit — the production 7-layer RGB boundary structure —
+    against the XLA forward, multi-tile."""
+    rng = np.random.default_rng(23)
+    p = _params(rng, [(3, 2, 16), (3, 16, 64), (3, 64, 64),
+                      (3, 64, 128), (3, 128, 128), (3, 128, 2)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 280, 2)).astype(np.float32))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
                                  dtype=jnp.float32, wino=True))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
 

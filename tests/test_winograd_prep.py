@@ -105,6 +105,34 @@ def test_wino_weights_tiled_conv_matches_oracle(k, n):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_wino_weights_paired_k64_layout():
+    """k == 64 position-paired layout: slab pa·2 + pbp (128 rows, 2n
+    cols) is the block-diagonal of U[pa, 2pbp] and U[pa, 2pbp+1] —
+    the paired operand's lane halves (the two col parities of one
+    128-lane parity-plane read) each meet their own position's U, and
+    the off-diagonal blocks are zero."""
+    k, n = 64, 8
+    w = (RNG.standard_normal((3, 3, k, n)) * 0.3).astype(np.float32)
+    g = np.asarray(G, np.float64)
+    u = np.einsum("ai,bj,ijkn->abkn", g, g, w.astype(np.float64))
+
+    wp = np.asarray(pf._wino_weights(jnp.asarray(w), jnp.float32))
+    assert wp.shape == (16 * k, 2 * n)
+    wp4 = wp.reshape(4, 2, 2 * k, 2 * n)
+    for pa in range(4):
+        for pbp in range(2):
+            for half in range(2):
+                np.testing.assert_allclose(
+                    wp4[pa, pbp, half * k:(half + 1) * k,
+                        half * n:(half + 1) * n],
+                    u[pa, 2 * pbp + half], atol=1e-6)
+                # off-diagonal block is zero
+                other = 1 - half
+                np.testing.assert_array_equal(
+                    wp4[pa, pbp, half * k:(half + 1) * k,
+                        other * n:(other + 1) * n], 0.0)
+
+
 @pytest.mark.parametrize("k,m", [(6, 3), (4, 16)])
 def test_wino_mm_weights_parity_allphase_matches_oracle(k, m):
     """The (8k, 8m) parity all-phase layout from ``_wino_mm_weights``
@@ -177,12 +205,12 @@ RGB7 = [(3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
 
 
 def test_wino_layers_eligibility():
-    """k==128 gate, the mm_last f==3/n≤16 exit, consumer chaining, and
-    the min_li producer gate — on the 7-layer RGB dims and synthetic
-    chains."""
-    # production 7-layer RGB: only the 128→128 layer (index 5) is
-    # eligible, exiting into the mm_last 128→3 layer
-    assert pf._wino_layers(RGB7, 7, mm_last=True) == frozenset({5})
+    """k ∈ {64, 128} gate, the mm_last f==3/n≤16 exit, consumer
+    chaining, and the min_li producer gate — on the 7-layer RGB dims
+    and synthetic chains."""
+    # production 7-layer RGB: the 64→64, 64→128 (position-paired) and
+    # 128→128 layers chain into the mm_last 128→3 exit
+    assert pf._wino_layers(RGB7, 7, mm_last=True) == frozenset({3, 4, 5})
     # no mm_last exit → nothing chains
     assert pf._wino_layers(RGB7, 7, mm_last=False) == frozenset()
     # wide or large-f last layer blocks the exit
