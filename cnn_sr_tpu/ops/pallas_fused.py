@@ -675,27 +675,23 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 s_ref = ps_refs[ps_idx[li + 1]]
                 w_half = ws[li + 1] // 2
                 if n == 64:
-                    # k == 64 entry: Mosaic strided ops need a 128-lane
-                    # memref, so route ROW parity into the lane halves
-                    # first (plain stores of the value's alternate
-                    # rows — a leading-dim stride on a value is a
-                    # register selection), then ONE col-parity strided
-                    # load per q on the (m/2, w, 128) scratch, split
-                    # back into the act ref's row-parity planes by
-                    # lane-half slices.
-                    s_ref[0 : m // 2, :, 0:64] = (
-                        v[0::2].astype(jnp.float32))
-                    s_ref[0 : m // 2, :, 64:128] = (
-                        v[1::2].astype(jnp.float32))
-                    for q_c in range(2):
-                        sl = s_ref[0 : m // 2, q_c :: 2]
-                        for p_r in range(2):
+                    # k == 64 entry: Mosaic strided ops need the
+                    # MEMREF's last dim to be 128, so the scratch is
+                    # allocated at 128 lanes with the value in the
+                    # lower 64 (upper half never read back as data) —
+                    # the quadrant reads are then the exact two-stride
+                    # pattern proven at k == 128, followed by a lane
+                    # slice on the loaded VALUE (a cheap mask; a
+                    # stride on the value itself lowers to an
+                    # unsupported >2D gather).
+                    s_ref[0:m, :, 0:64] = v.astype(jnp.float32)
+                    for p_r in range(2):
+                        for q_c in range(2):
                             act_refs[li][
                                 p_r, r0 // 2 : r0 // 2 + m // 2,
                                 0:w_half, q_c * n : (q_c + 1) * n,
-                            ] = sl[:, 0:w_half,
-                                   p_r * 64 : (p_r + 1) * 64].astype(
-                                       act_dts[li])
+                            ] = s_ref[p_r : m : 2, q_c :: 2][
+                                :, :, 0:64].astype(act_dts[li])
                     return
                 s_ref[0:m] = v.astype(jnp.float32)
                 for p_r in range(2):
@@ -1339,14 +1335,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
         )
     for li in ps_idx:  # producer-side parity-split scratch (f32)
-        # k == 64 entries route row parity into the lane halves first
-        # (lane = rowpar·64 + c) so the col-parity strided loads see a
-        # 128-lane memref (the Mosaic constraint); k == 128 strides the
-        # flat (rows, w, 128) store directly
+        # always 128 lanes: Mosaic strided ops require the memref's
+        # last dim to be exactly 128 — k == 64 entries use the lower
+        # half and waste the (physically lane-padded anyway) upper half
         scratch_shapes.append(
-            pltpu.VMEM((chunk_rows // 2, ws[li], 128), jnp.float32)
-            if ks[li] == 64 else
-            pltpu.VMEM((chunk_rows, ws[li], ks[li]), jnp.float32)
+            pltpu.VMEM((chunk_rows, ws[li], 128), jnp.float32)
         )
 
     out = pl.pallas_call(
