@@ -206,28 +206,34 @@ def _wino_weights(w, dtype):
     transformed U = G g Gᵀ per (c, n); position pos = 4a+b matches the
     kernel's ``w_ref[pos·k : (pos+1)·k]`` slabs.
 
-    k == 64 (position-PAIRED): (8·128, 2n) — slab pa·2 + pbp (128 rows)
-    is the block-diagonal of U[pa, 2·pbp] (rows 0:64, cols 0:n) and
-    U[pa, 2·pbp + 1] (rows 64:128, cols n:2n). The paired operand's
-    lane halves hold V[pa][2·pbp] and V[pa][2·pbp+1] channels (the
-    parity-plane tap loads deliver both col parities in one 128-lane
-    read), so one dot yields both positions' Y contributions in its
-    column halves at full MXU K-fill."""
+    k == 64 (j-PAIRED, col-transform-folded): (8·128, 2n) — the col
+    transform and the per-col-parity output combine FOLD INTO THE
+    WEIGHTS, so the dots consume the row-combined rs values directly:
+
+        S_pa[:, q·n + nn] = Σ_j Σ_c rs[pa][j][c] · W̃[pa][j][c, q·n+nn]
+        W̃[pa][j] = Σ_pb AT[q][pb] · BT[pb][j] · U[pa][pb]
+        Y[p, q]  = Σ_pa AT[p][pa] · S_pa[:, q·n:(q+1)·n]
+
+    Slab pa·2 + jp (128 rows) holds W̃[pa][2·jp] in rows 0:64 and
+    W̃[pa][2·jp+1] in rows 64:128 — exactly matching the paired rs
+    operand [rs(2jp) | rs(2jp+1)] that one 128-lane parity-plane tap
+    read produces (both col parities per read, j = tile col). The dot
+    CONTRACTS the j pair (both halves carry real weights — no
+    block-diagonal zero waste) and splits the output col parity q into
+    the N columns. No V stage, no rolls/casts: the first attempt
+    paired positions instead and its f32 roll+select V mixing measured
+    +2 ms/frame on chip (2026-08-21) — folding beats mixing."""
     f, _, k, n = w.shape
     g_m = jnp.asarray(
         [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
     u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
                    jnp.asarray(w, jnp.float32))
     if k == 64:
-        wp = jnp.zeros((4, 2, 2 * k, 2 * n), jnp.float32)
-        for pa in range(4):
-            for pbp in range(2):
-                for half in range(2):
-                    wp = wp.at[
-                        pa, pbp, half * k : (half + 1) * k,
-                        half * n : (half + 1) * n,
-                    ].set(u[pa, 2 * pbp + half])
-        return wp.reshape(16 * k, 2 * n).astype(dtype)
+        at = jnp.asarray(_WINO_AT, jnp.float32)
+        bt = jnp.asarray(_WINO_BT, jnp.float32)
+        # (pa, j, c, q, n): Σ_pb AT[q,pb]·BT[pb,j]·U[pa,pb,c,nn]
+        w_j = jnp.einsum("qb,bj,abkn->ajkqn", at, bt, u)
+        return w_j.reshape(16 * k, 2 * n).astype(dtype)
     return u.reshape(16 * k, n).astype(dtype)
 
 
@@ -792,81 +798,60 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                             ] = val[:, 0:wt]
 
                 if k == 64:
-                    # ---- position-PAIRED k==64 path ----
-                    # The parity planes carry both col parities in one
-                    # 128-lane read (2k == 128), so a tap-pair load at
-                    # col jp delivers tile-cols (2jp, 2jp+1) in its lane
-                    # halves. The BᵀdB row combos stay paired
-                    # (full-lane VPU); the col combos mix the middle
-                    # tile-cols across pair boundaries — one 64-lane
-                    # roll + select per pa builds the duplicated-half
-                    # operands (32-bit only ⇒ f32 transforms). 8
-                    # block-diagonal (128, 2n) dots (see _wino_weights)
-                    # then yield both positions' Y contributions per
-                    # dot at full MXU K-fill — the probe's k=64 loss
-                    # was pure K-underfill (docs/BENCHMARKS.md).
-                    m_l = None  # lane iota, built once per group shape
-
+                    # ---- j-PAIRED k==64 path (col transform folded
+                    # into the weights — see _wino_weights) ----
+                    # One 128-lane parity-plane read at col jp delivers
+                    # tile-cols (2jp, 2jp+1) in its lane halves, so the
+                    # BᵀdB row combos rs[pa] come out j-PAIRED in bf16
+                    # with plain adds. Each pa then needs just 2 dots
+                    # (M, 128) @ (128, 2n): the contraction sums the j
+                    # pair, the N columns carry the output col parity q
+                    # (the col transform and AT[q] combine live in the
+                    # weights), and the row combine is the usual AᵀMA
+                    # accumulation over pa. Full MXU K-fill — the
+                    # probe's k=64 loss was pure K-underfill.
                     for t0 in range(0, tr_l, _WINO_TRG):
                         rows = min(_WINO_TRG, tr_l - t0)
                         mrow = rows * tc_l
-                        if m_l is None or m_l.shape[0] != mrow:
-                            m_l = jax.lax.broadcasted_iota(
-                                jnp.int32, (mrow, 128), 1) < 64
+
+                        def tpair(i_p, jp, *, src=src, t0=t0,
+                                  rows=rows, tc_l=tc_l, mrow=mrow):
+                            # full-lane read: both col parities of
+                            # tile-cols (2jp, 2jp+1) in lane halves
+                            return src[
+                                i_p % 2, i_p // 2 + t0
+                                : i_p // 2 + t0 + rows,
+                                jp : jp + tc_l, 0:128,
+                            ].reshape(mrow, 128)
+
                         ys = [None] * 4
                         for pa in range(4):
                             i1, i2 = [i for i in range(4)
                                       if _WINO_BT[pa][i] != 0]
-                            def tpair(i_p, jp, *, src=src, t0=t0,
-                                      rows=rows, tc_l=tc_l, mrow=mrow):
-                                # full-lane read: both col parities of
-                                # tile-cols (2jp, 2jp+1) in lane halves
-                                return src[
-                                    i_p % 2, i_p // 2 + t0
-                                    : i_p // 2 + t0 + rows,
-                                    jp : jp + tc_l, 0:128,
-                                ].astype(jnp.float32).reshape(mrow, 128)
-
-                            rsp = []
+                            s_pa = None
                             for jp in range(2):
                                 d1 = tpair(i1, jp)
                                 d2 = tpair(i2, jp)
                                 d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
-                                rsp.append(
-                                    d1 + d2 if _WINO_BT[pa][i2] > 0
-                                    else d1 - d2)
-                            # rsp[0] = [rs0 | rs1], rsp[1] = [rs2 | rs3]
-                            # V pairs (BT cols): vp0 = [rs0−rs2 | rs1+rs2]
-                            #                    vp1 = [rs2−rs1 | rs1−rs3]
-                            r1l = pltpu.roll(rsp[1], 64, axis=1)
-                            h0d = jnp.where(m_l, rsp[1], r1l)  # [rs2|rs2]
-                            vp0 = rsp[0] + jnp.where(m_l, -h0d, h0d)
-                            r0l = pltpu.roll(rsp[0], 64, axis=1)
-                            h1d = jnp.where(m_l, r0l, rsp[0])  # [rs1|rs1]
-                            vp1 = (jnp.where(m_l, -h1d, h1d)
-                                   + jnp.where(m_l, rsp[1], -rsp[1]))
-                            for pbp, vp in ((0, vp0), (1, vp1)):
+                                rsp = (d1 + d2 if _WINO_BT[pa][i2] > 0
+                                       else d1 - d2)
                                 mdot = jax.lax.dot_general(
-                                    vp.astype(dtype),
-                                    w_ref[(pa * 2 + pbp) * 128
-                                          : (pa * 2 + pbp + 1) * 128],
+                                    rsp.astype(dtype),
+                                    w_ref[(pa * 2 + jp) * 128
+                                          : (pa * 2 + jp + 1) * 128],
                                     dimension_numbers=(((1,), (0,)),
                                                        ((), ())),
                                     preferred_element_type=jnp.float32)
-                                for half in range(2):
-                                    pb = 2 * pbp + half
-                                    mh = None
-                                    for pq in range(4):
-                                        c = (_WINO_AT[pq // 2][pa]
-                                             * _WINO_AT[pq % 2][pb])
-                                        if c == 0:
-                                            continue
-                                        if mh is None:
-                                            mh = mdot[:, half * n
-                                                      : (half + 1) * n]
-                                        t = mh if c > 0 else -mh
-                                        ys[pq] = (t if ys[pq] is None
-                                                  else ys[pq] + t)
+                                s_pa = mdot if s_pa is None else s_pa + mdot
+                            for pq in range(4):
+                                c = _WINO_AT[pq // 2][pa]
+                                if c == 0:
+                                    continue
+                                mh = s_pa[:, (pq % 2) * n
+                                          : (pq % 2 + 1) * n]
+                                t = mh if c > 0 else -mh
+                                ys[pq] = (t if ys[pq] is None
+                                          else ys[pq] + t)
                         emit_ys(ys, t0, rows)
                     continue
 

@@ -105,32 +105,48 @@ def test_wino_weights_tiled_conv_matches_oracle(k, n):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
-def test_wino_weights_paired_k64_layout():
-    """k == 64 position-paired layout: slab pa·2 + pbp (128 rows, 2n
-    cols) is the block-diagonal of U[pa, 2pbp] and U[pa, 2pbp+1] —
-    the paired operand's lane halves (the two col parities of one
-    128-lane parity-plane read) each meet their own position's U, and
-    the off-diagonal blocks are zero."""
+def test_wino_weights_paired_k64_tiled_conv_matches_oracle():
+    """k == 64 j-paired layout (col transform folded into the
+    weights): a full stride-2-tiled pass — row combos rs[pa][j] via
+    the module's Bᵀ, 8 dots of [rs(2jp)|rs(2jp+1)] (tiles, 128)
+    against the (pa·2+jp) slabs, row-phase Y via AT[p][pa] only (the
+    col phase q lives in the slab's N columns) — reproduces the
+    reference conv + bias + ReLU on a random activation block."""
     k, n = 64, 8
+    h, w_cols = 10, 12
+    act = RNG.standard_normal((h, w_cols, k)).astype(np.float32)
     w = (RNG.standard_normal((3, 3, k, n)) * 0.3).astype(np.float32)
-    g = np.asarray(G, np.float64)
-    u = np.einsum("ai,bj,ijkn->abkn", g, g, w.astype(np.float64))
+    b = RNG.standard_normal(n).astype(np.float32)
 
     wp = np.asarray(pf._wino_weights(jnp.asarray(w), jnp.float32))
     assert wp.shape == (16 * k, 2 * n)
-    wp4 = wp.reshape(4, 2, 2 * k, 2 * n)
-    for pa in range(4):
-        for pbp in range(2):
-            for half in range(2):
-                np.testing.assert_allclose(
-                    wp4[pa, pbp, half * k:(half + 1) * k,
-                        half * n:(half + 1) * n],
-                    u[pa, 2 * pbp + half], atol=1e-6)
-                # off-diagonal block is zero
-                other = 1 - half
-                np.testing.assert_array_equal(
-                    wp4[pa, pbp, half * k:(half + 1) * k,
-                        other * n:(other + 1) * n], 0.0)
+    slabs = wp.reshape(8, 2 * k, 2 * n).astype(np.float64)
+
+    bt = np.asarray(pf._WINO_BT, np.float64)
+    at = np.asarray(pf._WINO_AT, np.float64)
+    oh, ow = h - 2, w_cols - 2
+    out = np.zeros((oh, ow, n), np.float64)
+    for ti in range(oh // 2):
+        for tj in range(ow // 2):
+            d = act[2 * ti:2 * ti + 4, 2 * tj:2 * tj + 4].astype(np.float64)
+            y_par = np.zeros((2, 2, n))
+            for pa in range(4):
+                s_pa = np.zeros(2 * n)
+                for jp in range(2):
+                    # paired operand: [rs(2jp) | rs(2jp+1)] over c
+                    rs_a = sum(bt[pa][i] * d[i, 2 * jp] for i in range(4))
+                    rs_b = sum(bt[pa][i] * d[i, 2 * jp + 1]
+                               for i in range(4))
+                    opnd = np.concatenate([rs_a, rs_b])  # (2k,)
+                    s_pa = s_pa + opnd @ slabs[pa * 2 + jp]
+                for p in range(2):
+                    for q in range(2):
+                        y_par[p, q] += at[p][pa] * s_pa[q * n:(q + 1) * n]
+            out[2 * ti:2 * ti + 2, 2 * tj:2 * tj + 2] = y_par
+    out = np.maximum(out + b, 0.0).astype(np.float32)
+
+    ref = oracles.conv_forward_vec(act, w, b, relu=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
 @pytest.mark.parametrize("k,m", [(6, 3), (4, 16)])
