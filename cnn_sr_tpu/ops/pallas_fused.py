@@ -774,17 +774,17 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                             ys[pq].reshape(rows, tc_l, n) + b_ref[...],
                             0.0).astype(act_dt)
                         if last_cons:
-                            # single-copy parity image for the mm exit:
-                            # lane (2p+q)·n + j; the exit reads the
-                            # dx'=1 taps via a shifted Z combine (the
-                            # former 2-copy dx' prepack doubled these
-                            # stores for no dot-pass saving)
+                            # dx'-packed parity image for the mm exit:
+                            # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
+                            # copies (the f'=2 all-phase prepack)
                             wlast = act_refs[li].shape[1]
-                            assert wlast <= tc_l
-                            act_refs[li][
-                                t0 : t0 + rows, :,
-                                pq * n : (pq + 1) * n,
-                            ] = val[:, 0:wlast]
+                            assert wlast + 1 <= tc_l
+                            for dxp in range(2):
+                                act_refs[li][
+                                    t0 : t0 + rows, :,
+                                    dxp * 4 * n + pq * n
+                                    : dxp * 4 * n + (pq + 1) * n,
+                                ] = val[:, dxp : dxp + wlast]
                         else:
                             # next wino layer's parity planes: plane =
                             # row parity p, lane group = col parity q.
@@ -894,54 +894,39 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
 
             if wino_mm and li == n_layers - 1:
                 # ---- parity-domain all-phase exit (wino_mm) ----
-                # src: (H/2, W+1-ish/2, 4k) single-copy parity image;
-                # w_ref the (8k, 8m) _wino_mm_weights layout split by
-                # dx' row halves: TWO (M, 4k) @ (4k, 8m) dots (same 8
-                # K-passes as the old dx'-packed single dot, but the
-                # producer stores half the image bytes). Z lanes are
-                # dxp·8m + dy'·4m + (2p+q)·m + j; the combine sums the
-                # two dy' phase slices of each dx' half — the dx'=1
-                # half read at a one-col sublane offset — and adds bias
-                # ONCE post-combine (the (m,) bias broadcasts over the
-                # 4 parity lanes — adding per Z dot would double-count
-                # it), landing half-res parity out blocks the wrapper's
-                # stack-based recombine interleaves. Linear (no ReLU):
-                # reference layer L, ConfigBasedDataPipeline.cpp:66.
+                # src: (H/2, W/2, 8k) dx'-packed parity image; w_ref the
+                # (8k, 8m) _wino_mm_weights layout. Z lanes are
+                # dy'·4m + (2p+q)·m + j; combine sums the two dy' phase
+                # slices, adds bias ONCE post-combine (the (m,) bias
+                # broadcasts over the 4 parity lanes — adding per Z dot
+                # would double-count it), and lands half-res parity out
+                # blocks one XLA transpose recombines in the wrapper.
+                # Linear (no ReLU): reference layer L,
+                # ConfigBasedDataPipeline.cpp:66.
                 if "last" in _DEBUG_SKIP:
                     continue  # triage
                 z_ref = z_refs[pz_idx[li]]
                 trh = hs[li] // 2
                 ohh = tile_h // 2
-                w_img = act_refs[li - 1].shape[1]
-                wi1 = w_img - 1
+                w2 = act_refs[li - 1].shape[1]
                 m4 = 4 * n
-                k4 = 4 * k
+                k8 = 8 * k
                 for c0 in range(0, trh, ch):
                     ce = min(c0 + ch, trh)
-                    op = src[c0:ce, 0:w_img, 0:k4].reshape(
-                        (ce - c0) * w_img, k4)
-                    for dxp in range(2):
-                        z_ref[c0:ce, :, dxp * 2 * m4
-                              : (dxp + 1) * 2 * m4] = jnp.dot(
-                            op, w_ref[dxp * k4 : (dxp + 1) * k4],
-                            preferred_element_type=jnp.float32,
-                        ).reshape(ce - c0, w_img, 2 * m4).astype(
-                            z_ref.dtype)
+                    z_ref[c0:ce] = jnp.dot(
+                        src[c0:ce, 0:w2, 0:k8]
+                        .reshape((ce - c0) * w2, k8),
+                        w_ref[...],
+                        preferred_element_type=jnp.float32,
+                    ).reshape(ce - c0, w2, 2 * m4).astype(z_ref.dtype)
                 for c0 in range(0, ohh, ch):
                     ce = min(c0 + ch, ohh)
                     m_r = ce - c0
-                    accz = (
-                        z_ref[c0:ce, 0:wi1, 0:m4]
-                        .astype(jnp.float32)
-                        + z_ref[c0 + 1 : ce + 1, 0:wi1, m4 : 2 * m4]
-                        .astype(jnp.float32)
-                        + z_ref[c0:ce, 1 : wi1 + 1, 2 * m4 : 3 * m4]
-                        .astype(jnp.float32)
-                        + z_ref[c0 + 1 : ce + 1, 1 : wi1 + 1,
-                                3 * m4 : 4 * m4].astype(jnp.float32)
-                    )
+                    accz = (z_ref[c0:ce, :, 0:m4].astype(jnp.float32)
+                            + z_ref[c0 + 1 : ce + 1, :, m4 : 2 * m4]
+                            .astype(jnp.float32))
                     lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (m_r, wi1, m4), 2)
+                        jnp.int32, (m_r, w2, m4), 2)
                     for cc in range(n):
                         for pq in range(4):
                             val = jnp.sum(
@@ -1305,12 +1290,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             shape = (2, hs[li + 1] // 2,
                      _wino_w_in(ws, li + 1), 2 * ns[li])
         elif li in wino:
-            # wino output feeding the mm exit: single-copy 4k-lane
-            # parity image at half resolution (one extra col for the
-            # exit's shifted dx'=1 Z combine — the former 8k dx'-packed
-            # double store measured as pure overhead)
+            # wino output feeding the mm exit: dx'-packed 4k-lane
+            # parity image at half resolution
             shape = (hs[li + 1] // 2,
-                     -(-(ws[li + 2] // 2 + 1) // 8) * 8, 4 * ns[li])
+                     -(-(ws[li + 2] // 2) // 8) * 8, 8 * ns[li])
         elif li + 1 in prepack:
             shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
         else:
@@ -1322,11 +1305,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # the dot), rolling layers (ch+f−1) rows (see the chunk schedules)
     for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
         if wino_mm and li == n_layers - 1:
-            # parity-exit Z: half-res rows at the (w+1)-col image
-            # width, 2 dx' halves × 2 dy' phases of 4m lanes each
+            # parity-exit Z: half-res rows, f'=2 phases of 4m lanes
             scratch_shapes.append(pltpu.VMEM(
-                (hs[li] // 2, -(-(ws[li + 1] // 2 + 1) // 8) * 8,
-                 16 * ns[li]), dtype))
+                (hs[li] // 2, -(-(ws[li + 1] // 2) // 8) * 8,
+                 8 * ns[li]), dtype))
             continue
         rows = (hs[li + 1] + fs[li] - 1 if li in pipe_z
                 else chunk_rows + fs[li] - 1)
