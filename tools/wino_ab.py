@@ -79,6 +79,9 @@ def main(argv=None) -> int:
             params, x, input_int8=not args.no_int8, wino=True))
         print(f"parity max|diff| = {np.abs(ya - yb).max():.3e}")
 
+    if args.rounds == 0:
+        return 0  # --parity-only runs (e.g. odd-size spot checks)
+
     def run(fn, n) -> float:
         from functools import partial
         f = partial(fn, n=n)
