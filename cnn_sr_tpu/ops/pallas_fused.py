@@ -173,20 +173,30 @@ def _wino_w_in(ws, li):
 def _wino_layers(dims, n_layers, mm_last, min_li=1):
     """Middle layers running Winograd F(2x2,3x3) in the parity domain.
 
-    Eligible (computed back to front): f == 3, k ∈ {64, 128} (the
-    parity-plane input ref carries 2k col-parity lanes, and Mosaic
-    strided ops — used by the producer's parity repack — require a
-    128-lane memref: k == 128 strides a (rows, w, 128) f32 scratch
-    directly, k == 64 routes row parity into the lane halves first so
-    2k == 128; see ``store_act``), and a consumer that reads parity —
-    either another wino layer or the last layer under ``mm_last`` with
-    f == 3 and n_out ≤ 16 (its half-res all-phase dot carries 2·4·n_out
-    Z lanes). k == 64 layers run position-PAIRED dots (8 block-diagonal
-    (128, 2n) dots instead of 16 K-underfilled (64, n) ones — the
-    probe's k=64 loss was pure K-underfill). ``min_li`` excludes
-    layers whose producer does not store via ``store_act`` (the plane
-    first layer under min_li=2). Tile evenness is the caller's gate.
-    Shared by the kernel and ``fused_forward`` weight prep."""
+    Eligible (computed back to front): f == 3, k ∈ {32, 64, 128}, and
+    a consumer that reads parity — either another wino-family layer or
+    the last layer under ``mm_last`` with f == 3 and n_out ≤ 16 (its
+    half-res all-phase dot carries 2·4·n_out Z lanes). Three per-k dot
+    regimes share the parity domain:
+
+    * k == 128: 16 unpaired position dots, rank-4 (2, H/2, W, 2k)
+      parity planes (row parity = plane, col parity = lane group).
+    * k == 64: j-PAIRED dots with the col transform folded into the
+      weights (8 full (128, 2n) dots) over the same rank-4 layout
+      (2k == 128 lanes per plane).
+    * k == 32: direct QUAD-parity all-phase — all four parities in the
+      lanes of ONE rank-3 (H/2, W, 4k == 128) image, 4 raw-tap dots
+      (128, 4n) against direct conv weights (no Winograd math: at this
+      k the win is pure K/N parity packing; Winograd's MAC saving
+      can't beat the packing loss — docs/BENCHMARKS.md).
+
+    Entry stores (``store_act``) cover producers with n ∈ {32, 64,
+    128} via the 128-lane-memref strided-quadrant pattern; wino→wino
+    boundaries store parity directly; the plane first layer
+    parity-stores via its PERMUTED identity-dot transpose (col-parity-
+    sorted output columns → plain split stores), so min_li is 1 for
+    every first-layer form. Tile evenness is the caller's gate. Shared
+    by the kernel and ``fused_forward`` weight prep."""
     fs = [d[0] for d in dims]
     ks = [d[1] for d in dims]
     ns = [d[2] for d in dims]
@@ -194,7 +204,7 @@ def _wino_layers(dims, n_layers, mm_last, min_li=1):
     last_ok = mm_last and fs[-1] == 3 and ns[-1] <= 16
     for li in range(n_layers - 2, min_li - 1, -1):
         cons_ok = (li + 1 in elig) or (li + 2 == n_layers and last_ok)
-        if fs[li] == 3 and ks[li] in (64, 128) and cons_ok:
+        if fs[li] == 3 and ks[li] in (32, 64, 128) and cons_ok:
             elig.add(li)
     return frozenset(elig)
 
@@ -228,6 +238,30 @@ def _wino_weights(w, dtype):
         [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
     u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
                    jnp.asarray(w, jnp.float32))
+    if k == 32:
+        # QUAD direct layout (16k, 4n) = 4 slabs of (128, 4n): slab
+        # ro·2 + co, row (2rp + cp)·k + c ↦ tap (i, j) = (2ro+rp,
+        # 2co+cp), col (2p + q)·n + nn = w[i−p, j−q, c, nn] (zero
+        # outside the 3x3 footprint). No Winograd transform — folding
+        # BOTH transforms degenerates to the direct conv in
+        # quad-parity form, and at k == 32 the packing (4k == 128 K
+        # lanes, 4 output parities in N) is the whole win.
+        wf = jnp.asarray(w, jnp.float32)
+        wq = jnp.zeros((4, 4, k, 4, n), jnp.float32)
+        for ro in range(2):
+            for co in range(2):
+                for rp in range(2):
+                    for cp in range(2):
+                        i, j = 2 * ro + rp, 2 * co + cp
+                        for p_ in range(2):
+                            for q_ in range(2):
+                                dy, dx = i - p_, j - q_
+                                if 0 <= dy < 3 and 0 <= dx < 3:
+                                    wq = wq.at[
+                                        ro * 2 + co, 2 * rp + cp, :,
+                                        2 * p_ + q_, :,
+                                    ].set(wf[dy, dx])
+        return wq.reshape(16 * k, 4 * n).astype(dtype)
     if k == 64:
         at = jnp.asarray(_WINO_AT, jnp.float32)
         bt = jnp.asarray(_WINO_BT, jnp.float32)
@@ -569,7 +603,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # parity all-phase exit (``wino_mm``). Wino layers leave the sep and
     # prepack sets and carry no Z/patch scratch of their own.
     wino = (_wino_layers(dims, n_layers, mm_last,
-                         min_li=2 if plane else 1)
+                         min_li=1)
             if wino_on else frozenset())
     # the chain always reaches the last layer (eligibility is computed
     # back to front from the mm exit), so a nonempty set implies the
@@ -600,7 +634,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # tools/strided_store_probe.py); wino→wino boundaries store parity
     # planes directly from the (already parity-separated) Y values
     ps_idx = {li: i for i, li in enumerate(
-        li for li in sorted(wino) if li - 1 not in wino)}
+        li for li in sorted(wino)
+        if li - 1 not in wino and not (plane and li == 1))}
     # Software-pipelined combine (full-height Z, lagged one chunk): the
     # rolling schedule's combine reads the SAME chunk's freshly-stored Z
     # — a RAW hazard stalling the VPU on the MXU, and the next dot
@@ -680,6 +715,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 m = r1 - r0
                 s_ref = ps_refs[ps_idx[li + 1]]
                 w_half = ws[li + 1] // 2
+                if n == 32:
+                    # quad entry: all four parities into the lanes of
+                    # the consumer's rank-3 quad image — same 128-lane
+                    # scratch + two-stride quadrant reads as below
+                    s_ref[0:m, :, 0:32] = v.astype(jnp.float32)
+                    for p_r in range(2):
+                        for q_c in range(2):
+                            act_refs[li][
+                                r0 // 2 : r0 // 2 + m // 2, 0:w_half,
+                                (2 * p_r + q_c) * n
+                                : (2 * p_r + q_c + 1) * n,
+                            ] = s_ref[p_r : m : 2, q_c :: 2][
+                                :, :, 0:32].astype(act_dts[li])
+                    return
                 if n == 64:
                     # k == 64 entry: Mosaic strided ops need the
                     # MEMREF's last dim to be 128, so the scratch is
@@ -766,9 +815,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                + rows, b_p // 2 : b_p // 2 + tc_l,
                                (b_p % 2) * k : (b_p % 2 + 1) * k]
 
+                cons_quad = (not last_cons) and ks[li + 1] == 32
+
                 def emit_ys(ys, t0, rows, *, li=li, n=n, tc_l=tc_l,
                             last_cons=last_cons, act_dt=act_dt,
-                            b_ref=b_ref):
+                            b_ref=b_ref, cons_quad=cons_quad):
                     for pq in range(4):
                         val = jnp.maximum(
                             ys[pq].reshape(rows, tc_l, n) + b_ref[...],
@@ -785,6 +836,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                     dxp * 4 * n + pq * n
                                     : dxp * 4 * n + (pq + 1) * n,
                                 ] = val[:, dxp : dxp + wlast]
+                        elif cons_quad:
+                            # next layer is a k==32 QUAD consumer: all
+                            # four parities in the lanes of its rank-3
+                            # image — lane group (2p + q)·n
+                            wt = min(tc_l, act_refs[li].shape[1])
+                            act_refs[li][
+                                t0 : t0 + rows, 0:wt,
+                                pq * n : (pq + 1) * n,
+                            ] = val[:, 0:wt]
                         else:
                             # next wino layer's parity planes: plane =
                             # row parity p, lane group = col parity q.
@@ -796,6 +856,38 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                                 pq // 2, t0 : t0 + rows, 0:wt,
                                 (pq % 2) * n : (pq % 2 + 1) * n,
                             ] = val[:, 0:wt]
+
+                if k == 32:
+                    # ---- QUAD direct parity all-phase (k==32) ----
+                    # src is the rank-3 quad image (H/2, W_in, 4k):
+                    # one 128-lane read at (row off ro, col off co)
+                    # delivers ALL FOUR parities of taps (2ro+rp,
+                    # 2co+cp) — 4 raw-tap dots against the direct-conv
+                    # quad weights (no transform stage at all), output
+                    # col groups = the 4 output parities. Pure packing
+                    # win: 4·⌈4n/128⌉ M-passes vs sep's 12 per tile.
+                    for t0 in range(0, tr_l, _WINO_TRG):
+                        rows = min(_WINO_TRG, tr_l - t0)
+                        mrow = rows * tc_l
+                        s_all = None
+                        for ro in range(2):
+                            for co in range(2):
+                                r_op = src[
+                                    t0 + ro : t0 + ro + rows,
+                                    co : co + tc_l, 0:128,
+                                ].reshape(mrow, 128)
+                                mdot = jax.lax.dot_general(
+                                    r_op.astype(dtype),
+                                    w_ref[(ro * 2 + co) * 128
+                                          : (ro * 2 + co + 1) * 128],
+                                    dimension_numbers=(((1,), (0,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32)
+                                s_all = (mdot if s_all is None
+                                         else s_all + mdot)
+                        emit_ys([s_all[:, pq * n : (pq + 1) * n]
+                                 for pq in range(4)], t0, rows)
+                    continue
 
                 if k == 64:
                     # ---- j-PAIRED k==64 path (col transform folded
@@ -952,9 +1044,23 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # This replaces the XLA patch-array build AND its 128-
                 # lane-padded window DMA outright (docs/BENCHMARKS.md).
                 f1 = l1_f
-                eye = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-                       == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-                       ).astype(dtype)
+                cons_wino = 1 in wino
+                ri_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                ci_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                if cons_wino:
+                    # PERMUTED transpose: the identity-dot's selection
+                    # matrix orders the block's output cols
+                    # parity-sorted (rows 0:64 ← even cols 2r, rows
+                    # 64:128 ← odd cols 2r+1), so the col-parity split
+                    # of the parity store below is two PLAIN stores of
+                    # slab halves — the permutation rides the already-
+                    # paid MXU transpose for free. Row parity is just
+                    # (r8 + r) % 2.
+                    eye = (((ri_ < 64) & (ci_ == 2 * ri_))
+                           | ((ri_ >= 64) & (ci_ == 2 * ri_ - 127))
+                           ).astype(dtype)
+                else:
+                    eye = (ri_ == ci_).astype(dtype)
                 # store_act's consumer-packing selection, in slab form
                 # (li==0 can never be the pack_last producer: the fused
                 # path requires >= 3 layers)
@@ -991,15 +1097,48 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                         if "l1_store" in _DEBUG_SKIP:  # triage-only gate
                             # full-row store ((1,1,1) stores into packed
                             # bf16 refs fail Mosaic lowering)
-                            act_refs[li][r8 : r8 + 1] = jnp.broadcast_to(
+                            act_refs[li][0:1] = jnp.broadcast_to(
                                 jnp.max(yb.astype(jnp.float32))
-                                .reshape(1, 1, 1).astype(act_dt),
+                                .reshape((1,) * len(act_refs[li].shape))
+                                .astype(act_dt),
                                 (1,) + act_refs[li].shape[1:])
                             continue
                         for r in range(rows):
                             # slab (128 cols-in-sublanes, n-in-lanes)
                             # matches the act ref's (W, C) tile layout
                             slab = yb[:, r * n : (r + 1) * n]
+                            if cons_wino:
+                                # parity store (permuted slab halves):
+                                # orig cols wc+2s / wc+2s+1 → half-res
+                                # col wc/2 + s, col-parity lane group
+                                rr = r8 + r
+                                rp_, qr = rr % 2, rr // 2
+                                x0q = wc // 2
+                                qw = (act_refs[li].shape[1]
+                                      if ks[1] == 32
+                                      else act_refs[li].shape[2])
+                                x1q = min(x0q + 64, qw)
+                                if x1q <= x0q:
+                                    continue
+                                for cp_ in range(2):
+                                    half = slab[cp_ * 64
+                                                : cp_ * 64 + (x1q - x0q)]
+                                    if ks[1] == 32:
+                                        # rank-3 quad image: lane
+                                        # group (2·rp + cp)·n
+                                        act_refs[li][
+                                            qr, x0q:x1q,
+                                            (2 * rp_ + cp_) * n
+                                            : (2 * rp_ + cp_ + 1) * n,
+                                        ] = half
+                                    else:
+                                        # rank-4 parity planes: plane
+                                        # rp, lane group cp·n
+                                        act_refs[li][
+                                            rp_, qr, x0q:x1q,
+                                            cp_ * n : (cp_ + 1) * n,
+                                        ] = half
+                                continue
                             for c in range(cnt):
                                 x0, s0 = wc - c, 0
                                 if x0 < 0:
@@ -1286,9 +1425,14 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         if li + 1 in wino:
             # a wino layer's parity-plane input: (row parity, row/2,
             # col/2 — sized for the producer store AND the 16-aligned
-            # tap over-read (_wino_w_in), col-parity lane groups of k)
-            shape = (2, hs[li + 1] // 2,
-                     _wino_w_in(ws, li + 1), 2 * ns[li])
+            # tap over-read (_wino_w_in), col-parity lane groups of k);
+            # a k == 32 consumer packs ALL FOUR parities into the lanes
+            # of one rank-3 image instead (lane (2rp+cp)·k + c == 128)
+            shape = ((hs[li + 1] // 2, _wino_w_in(ws, li + 1),
+                      4 * ns[li])
+                     if ns[li] == 32 else
+                     (2, hs[li + 1] // 2,
+                      _wino_w_in(ws, li + 1), 2 * ns[li]))
         elif li in wino:
             # wino output feeding the mm exit: dx'-packed 4k-lane
             # parity image at half resolution
@@ -1692,9 +1836,10 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # Interpret mode (CPU tests) keeps sep: the 16-position unroll
     # makes interpret walks several times slower, mirroring the
     # plane_input auto rule; dedicated wino tests pass wino=True.
-    # The eligible set depends on the first-layer form (plane excludes
-    # min_li=1), so each branch below computes its own prep set with
-    # the SAME shared function the kernel uses.
+    # min_li is 1 for every first-layer form (the plane l1
+    # parity-stores via its permuted transpose); each branch below
+    # computes its prep set with the SAME shared function the kernel
+    # uses.
     if wino is None:
         wino = not interpret
     wino = bool(wino)
@@ -1728,7 +1873,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8, l1_rows)
         l1_s = _plane_rows(l1_rows, f1)[1]
         dims = ((1, c1 * f1 * l1_s, n1),) + tail_dims
-        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=2)
+        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1)
                     if wino else frozenset())
         wbs = [h_w, b8] + _prepare_tail_weights(
             params[1:], dtype, pack_last, mm_last,

@@ -46,10 +46,12 @@ def _params(rng, spec):
 def test_wino_layers_eligibility():
     """k ∈ {64, 128} + f==3 + chain-to-mm-exit, computed back to
     front (k == 64 layers run position-paired dots)."""
-    # RGB-like: the 64->64, 64->128, and 128->128 layers all chain
+    # RGB-like: ALL five middles chain (k=32 quad, k=64 j-paired,
+    # k=128 unpaired)
     dims = ((3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
             (3, 64, 128), (3, 128, 128), (3, 128, 3))
-    assert _wino_layers(dims, 7, mm_last=True) == frozenset({3, 4, 5})
+    assert _wino_layers(dims, 7, mm_last=True) == \
+        frozenset({1, 2, 3, 4, 5})
     # chain: two k==128 layers, both eligible
     dims2 = ((1, 81, 16), (3, 16, 128), (3, 128, 128), (3, 128, 128),
              (3, 128, 2))
@@ -166,6 +168,36 @@ def test_wino_kernel_paired_k64_chain():
     y_ref = np.asarray(forward(p, x))
     y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
                                  dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_kernel_quad_k32_chain():
+    """The k==32 QUAD path end to end at f32: store_act quad entry
+    (n=32 producer), quad→quad and quad→rank-4 boundary stores, then
+    the j-paired and unpaired layers into the parity exit — the full
+    RGB ladder in miniature, multi-tile."""
+    rng = np.random.default_rng(29)
+    p = _params(rng, [(3, 2, 32), (3, 32, 32), (3, 32, 64),
+                      (3, 64, 128), (3, 128, 128), (3, 128, 2)])
+    x = jnp.asarray(rng.standard_normal((1, 44, 280, 2)).astype(np.float32))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino_kernel_plane_quad_store():
+    """plane_input=True with an ELIGIBLE layer 1 (k=32): the plane
+    first layer's PERMUTED identity-dot transpose parity-stores the
+    quad image directly (col-parity-sorted slab halves), min_li == 1."""
+    rng = np.random.default_rng(31)
+    p = _params(rng, [(3, 3, 32), (3, 32, 32), (3, 32, 64),
+                      (3, 64, 128), (3, 128, 128), (3, 128, 2)])
+    x = jnp.asarray((rng.random((1, 44, 280, 3)).astype(np.float32) - 0.5))
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True,
+                                 plane_input=True))
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
 
 

@@ -105,6 +105,45 @@ def test_wino_weights_tiled_conv_matches_oracle(k, n):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_wino_weights_quad_k32_tiled_conv_matches_oracle():
+    """k == 32 QUAD direct layout: 4 raw-tap reads per tile — lane
+    (2rp+cp)·k + c of read (ro, co) holds d[2ro+rp, 2co+cp, c] — dotted
+    against the 4 slabs and summed reproduce the conv directly (no
+    Winograd transform; output col groups are the 4 output parities)."""
+    k, n = 32, 8
+    h, w_cols = 10, 12
+    act = RNG.standard_normal((h, w_cols, k)).astype(np.float32)
+    w = (RNG.standard_normal((3, 3, k, n)) * 0.3).astype(np.float32)
+    b = RNG.standard_normal(n).astype(np.float32)
+
+    wp = np.asarray(pf._wino_weights(jnp.asarray(w), jnp.float32))
+    assert wp.shape == (16 * k, 4 * n)
+    slabs = wp.reshape(4, 4 * k, 4 * n).astype(np.float64)
+
+    oh, ow = h - 2, w_cols - 2
+    out = np.zeros((oh, ow, n), np.float64)
+    for ti in range(oh // 2):
+        for tj in range(ow // 2):
+            d = act[2 * ti:2 * ti + 4, 2 * tj:2 * tj + 4].astype(np.float64)
+            s = np.zeros(4 * n)
+            for ro in range(2):
+                for co in range(2):
+                    r_op = np.zeros(4 * k)
+                    for rp in range(2):
+                        for cp in range(2):
+                            r_op[(2 * rp + cp) * k:(2 * rp + cp + 1) * k] = \
+                                d[2 * ro + rp, 2 * co + cp]
+                    s = s + r_op @ slabs[ro * 2 + co]
+            for p in range(2):
+                for q in range(2):
+                    out[2 * ti + p, 2 * tj + q] = \
+                        s[(2 * p + q) * n:(2 * p + q + 1) * n]
+    out = np.maximum(out + b, 0.0).astype(np.float32)
+
+    ref = oracles.conv_forward_vec(act, w, b, relu=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_wino_weights_paired_k64_tiled_conv_matches_oracle():
     """k == 64 j-paired layout (col transform folded into the
     weights): a full stride-2-tiled pass — row combos rs[pa][j] via
@@ -224,9 +263,10 @@ def test_wino_layers_eligibility():
     """k ∈ {64, 128} gate, the mm_last f==3/n≤16 exit, consumer
     chaining, and the min_li producer gate — on the 7-layer RGB dims
     and synthetic chains."""
-    # production 7-layer RGB: the 64→64, 64→128 (position-paired) and
-    # 128→128 layers chain into the mm_last 128→3 exit
-    assert pf._wino_layers(RGB7, 7, mm_last=True) == frozenset({3, 4, 5})
+    # production 7-layer RGB: ALL five middles chain into the mm_last
+    # 128→3 exit (k=32 quad, k=64 j-paired, k=128 unpaired)
+    assert pf._wino_layers(RGB7, 7, mm_last=True) == \
+        frozenset({1, 2, 3, 4, 5})
     # no mm_last exit → nothing chains
     assert pf._wino_layers(RGB7, 7, mm_last=False) == frozenset()
     # wide or large-f last layer blocks the exit
