@@ -44,8 +44,8 @@ def _params(rng, spec):
 
 
 def test_wino_layers_eligibility():
-    """k ∈ {64, 128} + f==3 + chain-to-mm-exit, computed back to
-    front (k == 64 layers run position-paired dots)."""
+    """k ∈ {32, 64, 128} + f==3 + chain-to-mm-exit, computed back to
+    front (k==32 quad, k==64 j-paired, k==128 unpaired dots)."""
     # RGB-like: ALL five middles chain (k=32 quad, k=64 j-paired,
     # k=128 unpaired)
     dims = ((3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),

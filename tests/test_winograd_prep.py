@@ -260,7 +260,7 @@ RGB7 = [(3, 3, 32), (3, 32, 32), (3, 32, 64), (3, 64, 64),
 
 
 def test_wino_layers_eligibility():
-    """k ∈ {64, 128} gate, the mm_last f==3/n≤16 exit, consumer
+    """k ∈ {32, 64, 128} gate, the mm_last f==3/n≤16 exit, consumer
     chaining, and the min_li producer gate — on the 7-layer RGB dims
     and synthetic chains."""
     # production 7-layer RGB: ALL five middles chain into the mm_last

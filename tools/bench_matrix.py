@@ -98,15 +98,20 @@ def _train_marginal(run, e1=100, e2=400):
 _PARITY_FAILED: list[str] = []
 
 
-def _uint8_parity(fast_u8, ref_u8):
-    """bench.py's gate on two uint8 image arrays: max diff ≤ 4, mean
-    < 0.5, PSNR ≥ 45 dB — the fused bf16/int8 production path vs the
-    XLA reference on the SAME frame, same session."""
+def _uint8_parity(fast_u8, ref_u8, max_diff=2, mean_diff=0.1,
+                  min_psnr=60.0):
+    """Per-row parity gate on two uint8 image arrays, thresholds pinned
+    to the measured envelope (VERDICT r3 weak #2): luma rows measure
+    max 1 / ≥86 dB session after session (gate ≤2 / ≥60 dB for tunnel-
+    noise headroom); the RGB wino rows measure BIT-EXACT and gate at
+    max_diff=0. The old uniform ≤4 / ≥45 gate would have published a
+    4x-error silent regression."""
     d = np.abs(fast_u8.astype(np.int32) - ref_u8.astype(np.int32))
     mse = float(np.mean(d.astype(np.float64) ** 2))
     psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
     return {
-        "parity_ok": bool(d.max() <= 4 and d.mean() < 0.5 and psnr >= 45),
+        "parity_ok": bool(d.max() <= max_diff and d.mean() <= mean_diff
+                          and psnr >= min_psnr),
         "parity_max_diff": int(d.max()),
         "parity_mean_diff": round(float(d.mean()), 4),
         "parity_psnr_db": round(float(psnr), 2),
@@ -179,12 +184,13 @@ def main():
         p = random_parameters(cfg.layer_specs(), cfg.distributions, seed=seed)
         return [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])} for l in p]
 
-    def img_parity(fast_pipe, ref_pipe, img):
+    def img_parity(fast_pipe, ref_pipe, img, **gates):
         """Same-session production-vs-XLA check on one frame (the exact
-        configuration the row times — VERDICT r2 weak #1)."""
+        configuration the row times — VERDICT r2 weak #1). ``gates``
+        override the per-row thresholds (RGB wino rows: bit-exact)."""
         fast = np.asarray(jax.jit(fast_pipe)(img))
         ref = np.asarray(jax.jit(ref_pipe)(img))
-        return _uint8_parity(fast[..., :3], ref[..., :3])
+        return _uint8_parity(fast[..., :3], ref[..., :3], **gates)
 
     # --- 1: SRCNN 9-1-5 single-image luma inference (1080p) ---
     cfg = classic_cfg(64, 32, 9, 1, 5)
@@ -309,7 +315,8 @@ def main():
         y = forward(params7, (rgb - mean)[None])[0]
         return swap_rgb(img, y)
 
-    par = img_parity(rgb_pipe, rgb_ref, img)
+    par = img_parity(rgb_pipe, rgb_ref, img,
+                     max_diff=0, mean_diff=0.0)  # measured bit-exact
     dt = _chained_image_bench(rgb_pipe, img, iters=4)
     _emit("5_waifu2x_7layer_rgb_1080p", 1080 * 1920 / dt / 1e6, "MPix/s",
           "fused Pallas path (XLA path: ~20.5 MPix/s)", parity=par)
@@ -363,7 +370,7 @@ def main():
     par = img_parity(
         lambda b: _upscale_rgb_batch_jit(params7, b, use_pallas=True),
         lambda b: _upscale_rgb_batch_jit(params7, b, use_pallas=False),
-        batch4)
+        batch4, max_diff=0, mean_diff=0.0)  # measured bit-exact
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def chained_r(b, length):

@@ -34,6 +34,16 @@ def main(argv=None) -> int:
     p.add_argument("--no-int8", action="store_true")
     p.add_argument("--parity", action="store_true",
                    help="also print wino-vs-sep max|diff| on chip")
+    p.add_argument("--sweep", type=int, default=0, metavar="N",
+                   help="randomized odd-shape parity sweep: N random "
+                        "(H, W) frames incl. odd widths and near-"
+                        "receptive-field sizes, wino vs sep on chip "
+                        "(VERDICT r3 weak #3); exits nonzero on any "
+                        "mismatch > --sweep-tol")
+    p.add_argument("--sweep-seed", type=int, default=None,
+                   help="sweep RNG seed (default: derived from date so "
+                        "repeat runs in one day reuse the compile cache)")
+    p.add_argument("--sweep-tol", type=float, default=1e-6)
     args = p.parse_args(argv)
 
     import json
@@ -79,8 +89,54 @@ def main(argv=None) -> int:
             params, x, input_int8=not args.no_int8, wino=True))
         print(f"parity max|diff| = {np.abs(ya - yb).max():.3e}")
 
+    if args.sweep:
+        # Randomized odd/ragged-geometry parity sweep: the shipped-ON
+        # wino default's safety evidence beyond the two 1080p/540p spot
+        # shapes — odd W (parity-domain raggedness), odd H, and sizes
+        # near the stack's receptive field (shrink + a few rows), where
+        # the tile-evenness fallbacks engage. Each shape compiles fresh,
+        # so sizes stay ≤ ~600p to keep tunnel compiles quick.
+        import datetime
+
+        seed = (args.sweep_seed if args.sweep_seed is not None
+                else int(datetime.date.today().strftime("%Y%m%d")))
+        srng = np.random.default_rng(seed)
+        shrink = sum(l["w"].shape[0] - 1 for l in params)
+        shapes = []
+        for i in range(args.sweep):
+            if i % 3 == 2:  # every third: near the receptive field
+                h = shrink + int(srng.integers(2, 24))
+                w = shrink + int(srng.integers(2, 24))
+            else:
+                h = int(srng.integers(96, 600))
+                w = int(srng.integers(96, 1024))
+            if i % 2 == 0:
+                w |= 1  # force odd width (ragged parity domain)
+            else:
+                h |= 1
+            shapes.append((h, w))
+        print(f"sweep seed {seed}: {shapes}")
+        worst, failures = 0.0, []
+        for (h, w) in shapes:
+            xs = jnp.asarray(srng.random((1, h, w, 3), np.float32) - 0.5)
+            ya = np.asarray(pallas_fused.fused_forward(
+                params, xs, input_int8=not args.no_int8, wino=False))
+            yb = np.asarray(pallas_fused.fused_forward(
+                params, xs, input_int8=not args.no_int8, wino=True))
+            d = float(np.abs(ya - yb).max())
+            worst = max(worst, d)
+            status = "ok" if d <= args.sweep_tol else "FAIL"
+            if status == "FAIL":
+                failures.append((h, w, d))
+            print(f"  {h:4d}x{w:<4d}: max|wino-sep| = {d:.3e}  {status}")
+        print(f"sweep worst = {worst:.3e} over {len(shapes)} shapes "
+              f"(tol {args.sweep_tol:g})")
+        if failures:
+            print(f"SWEEP FAILURES: {failures}")
+            return 1
+
     if args.rounds == 0:
-        return 0  # --parity-only runs (e.g. odd-size spot checks)
+        return 0  # --parity-only / --sweep-only runs
 
     def run(fn, n) -> float:
         from functools import partial
