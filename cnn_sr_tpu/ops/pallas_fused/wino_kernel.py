@@ -1,0 +1,301 @@
+"""Winograd/parity-domain kernel branches (trace-time helpers).
+
+Called from ``kernel._fused_tail_single``'s layer loop with explicit
+refs/statics — the bodies are the round-3 measured formulations
+unchanged (docs/BENCHMARKS.md "Winograd kernel mode"):
+
+* k == 32: direct QUAD-parity all-phase — 4 raw-tap dots on one rank-3
+  (H/2, W, 4k == 128) image, no transform (packing alone pays at k=32);
+* k == 64: j-PAIRED dots with the col transform FOLDED INTO THE WEIGHTS
+  (2 dots (M, 128) @ (128, 2n) per pa — no V stage, no rolls);
+* k == 128: 16 unpaired position dots at full MXU K-fill;
+* exit: half-res parity all-phase mm over the dx'-packed parity image.
+
+Reference math being accelerated: layer_uber_kernel.cl:59-95 (f==3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rules import _WINO_AT, _WINO_BT, _WINO_TRG
+
+
+def wino_layer(src, w_ref, b_ref, act_ref, *, k, n, tr_l, tc_l,
+               last_cons, cons_quad, act_dt, dtype):
+    """One Winograd-family middle layer in the parity domain.
+
+    ``src`` holds parity planes (2, H/2, W/2p, 2k) — plane = row parity,
+    lane group = col parity (k == 64/128) — or the rank-3 quad image
+    (H/2, W_in, 4k) at k == 32; every tap d[2i+a, 2j+b] is a contiguous
+    (rows, TC, k) slice. Factored transform: per BᵀdB row-parity pa,
+    4 single-add row combos R[jb], then per col pb one combo
+    V = ±R[j1] ± R[j2]; position dots at full MXU K-fill; AᵀMA
+    accumulates incrementally into the 4 parity Y accumulators
+    (coeffs 0/±1). Measured −55% vs sep at (128,128), −43% at (128,64)
+    per chunk. ``act_ref`` is the consumer's input ref; ``last_cons``
+    = the consumer is the parity mm exit (dx'-packed store),
+    ``cons_quad`` = the consumer is a k==32 quad layer.
+    """
+
+    def wtap(a_p, b_p, t0, rows):
+        return src[a_p % 2, a_p // 2 + t0 : a_p // 2 + t0
+                   + rows, b_p // 2 : b_p // 2 + tc_l,
+                   (b_p % 2) * k : (b_p % 2 + 1) * k]
+
+    def emit_ys(ys, t0, rows):
+        for pq in range(4):
+            val = jnp.maximum(
+                ys[pq].reshape(rows, tc_l, n) + b_ref[...],
+                0.0).astype(act_dt)
+            if last_cons:
+                # dx'-packed parity image for the mm exit:
+                # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
+                # copies (the f'=2 all-phase prepack)
+                wlast = act_ref.shape[1]
+                assert wlast + 1 <= tc_l
+                for dxp in range(2):
+                    act_ref[
+                        t0 : t0 + rows, :,
+                        dxp * 4 * n + pq * n
+                        : dxp * 4 * n + (pq + 1) * n,
+                    ] = val[:, dxp : dxp + wlast]
+            elif cons_quad:
+                # next layer is a k==32 QUAD consumer: all
+                # four parities in the lanes of its rank-3
+                # image — lane group (2p + q)·n
+                wt = min(tc_l, act_ref.shape[1])
+                act_ref[
+                    t0 : t0 + rows, 0:wt,
+                    pq * n : (pq + 1) * n,
+                ] = val[:, 0:wt]
+            else:
+                # next wino layer's parity planes: plane =
+                # row parity p, lane group = col parity q.
+                # Clip to the ref (16-aligned tc can exceed
+                # it); unwritten tail cols are garbage that
+                # only feeds garbage output columns.
+                wt = min(tc_l, act_ref.shape[2])
+                act_ref[
+                    pq // 2, t0 : t0 + rows, 0:wt,
+                    (pq % 2) * n : (pq % 2 + 1) * n,
+                ] = val[:, 0:wt]
+
+    if k == 32:
+        # ---- QUAD direct parity all-phase (k==32) ----
+        # src is the rank-3 quad image (H/2, W_in, 4k):
+        # one 128-lane read at (row off ro, col off co)
+        # delivers ALL FOUR parities of taps (2ro+rp,
+        # 2co+cp) — 4 raw-tap dots against the direct-conv
+        # quad weights (no transform stage at all), output
+        # col groups = the 4 output parities. Pure packing
+        # win: 4·⌈4n/128⌉ M-passes vs sep's 12 per tile.
+        for t0 in range(0, tr_l, _WINO_TRG):
+            rows = min(_WINO_TRG, tr_l - t0)
+            mrow = rows * tc_l
+            s_all = None
+            for ro in range(2):
+                for co in range(2):
+                    r_op = src[
+                        t0 + ro : t0 + ro + rows,
+                        co : co + tc_l, 0:128,
+                    ].reshape(mrow, 128)
+                    mdot = jax.lax.dot_general(
+                        r_op.astype(dtype),
+                        w_ref[(ro * 2 + co) * 128
+                              : (ro * 2 + co + 1) * 128],
+                        dimension_numbers=(((1,), (0,)),
+                                           ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s_all = (mdot if s_all is None
+                             else s_all + mdot)
+            emit_ys([s_all[:, pq * n : (pq + 1) * n]
+                     for pq in range(4)], t0, rows)
+        return
+
+    if k == 64:
+        # ---- j-PAIRED k==64 path (col transform folded
+        # into the weights — see _wino_weights) ----
+        # One 128-lane parity-plane read at col jp delivers
+        # tile-cols (2jp, 2jp+1) in its lane halves, so the
+        # BᵀdB row combos rs[pa] come out j-PAIRED in bf16
+        # with plain adds. Each pa then needs just 2 dots
+        # (M, 128) @ (128, 2n): the contraction sums the j
+        # pair, the N columns carry the output col parity q
+        # (the col transform and AT[q] combine live in the
+        # weights), and the row combine is the usual AᵀMA
+        # accumulation over pa. Full MXU K-fill — the
+        # probe's k=64 loss was pure K-underfill.
+        for t0 in range(0, tr_l, _WINO_TRG):
+            rows = min(_WINO_TRG, tr_l - t0)
+            mrow = rows * tc_l
+
+            def tpair(i_p, jp, *, t0=t0, rows=rows, mrow=mrow):
+                # full-lane read: both col parities of
+                # tile-cols (2jp, 2jp+1) in lane halves
+                return src[
+                    i_p % 2, i_p // 2 + t0
+                    : i_p // 2 + t0 + rows,
+                    jp : jp + tc_l, 0:128,
+                ].reshape(mrow, 128)
+
+            ys = [None] * 4
+            for pa in range(4):
+                i1, i2 = [i for i in range(4)
+                          if _WINO_BT[pa][i] != 0]
+                s_pa = None
+                for jp in range(2):
+                    d1 = tpair(i1, jp)
+                    d2 = tpair(i2, jp)
+                    d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
+                    rsp = (d1 + d2 if _WINO_BT[pa][i2] > 0
+                           else d1 - d2)
+                    mdot = jax.lax.dot_general(
+                        rsp.astype(dtype),
+                        w_ref[(pa * 2 + jp) * 128
+                              : (pa * 2 + jp + 1) * 128],
+                        dimension_numbers=(((1,), (0,)),
+                                           ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s_pa = mdot if s_pa is None else s_pa + mdot
+                for pq in range(4):
+                    c = _WINO_AT[pq // 2][pa]
+                    if c == 0:
+                        continue
+                    mh = s_pa[:, (pq % 2) * n
+                              : (pq % 2 + 1) * n]
+                    t = mh if c > 0 else -mh
+                    ys[pq] = (t if ys[pq] is None
+                              else ys[pq] + t)
+            emit_ys(ys, t0, rows)
+        return
+
+    # ---- unpaired k==128 path: 16 position dots ----
+    for t0 in range(0, tr_l, _WINO_TRG):
+        rows = min(_WINO_TRG, tr_l - t0)
+        ys = [None] * 4
+        for pa in range(4):
+            i1, i2 = [i for i in range(4)
+                      if _WINO_BT[pa][i] != 0]
+            rs = []
+            for jb in range(4):
+                d1 = wtap(i1, jb, t0, rows)
+                d2 = wtap(i2, jb, t0, rows)
+                d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
+                rs.append(d1 + d2 if _WINO_BT[pa][i2] > 0
+                          else d1 - d2)
+            for pb in range(4):
+                j1, j2 = [j for j in range(4)
+                          if _WINO_BT[pb][j] != 0]
+                v = (rs[j1] if _WINO_BT[pb][j1] > 0
+                     else -rs[j1])
+                v = (v + rs[j2] if _WINO_BT[pb][j2] > 0
+                     else v - rs[j2])
+                pos = pa * 4 + pb
+                mdot = jax.lax.dot_general(
+                    v.reshape(rows * tc_l, k),
+                    w_ref[pos * k : (pos + 1) * k],
+                    dimension_numbers=(((1,), (0,)),
+                                       ((), ())),
+                    preferred_element_type=jnp.float32)
+                for pq in range(4):
+                    c = (_WINO_AT[pq // 2][pa]
+                         * _WINO_AT[pq % 2][pb])
+                    if c != 0:
+                        t = mdot if c > 0 else -mdot
+                        ys[pq] = (t if ys[pq] is None
+                                  else ys[pq] + t)
+        emit_ys(ys, t0, rows)
+
+
+def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt):
+    """Parity-split store for a wino consumer: rows/cols de-interleave
+    into (row-parity plane, col-parity lane group) — f32 scratch + four
+    stride-2 quadrant loads (measured ~free vs the flat store: 9.28 vs
+    9.94 us/chunk, tools/winograd_probe.py `repack`). Chunk starts are
+    even (chunk_rows and every emit boundary are even when f is odd and
+    oh is even — both gated). ``s_ref``: the producer's 128-lane f32
+    parity-split scratch; ``act_ref``: the consumer's input ref."""
+    if n == 32:
+        # quad entry: all four parities into the lanes of
+        # the consumer's rank-3 quad image — same 128-lane
+        # scratch + two-stride quadrant reads as below
+        s_ref[0:m, :, 0:32] = v.astype(jnp.float32)
+        for p_r in range(2):
+            for q_c in range(2):
+                act_ref[
+                    r0 // 2 : r0 // 2 + m // 2, 0:w_half,
+                    (2 * p_r + q_c) * n
+                    : (2 * p_r + q_c + 1) * n,
+                ] = s_ref[p_r : m : 2, q_c :: 2][
+                    :, :, 0:32].astype(act_dt)
+        return
+    if n == 64:
+        # k == 64 entry: Mosaic strided ops need the
+        # MEMREF's last dim to be 128, so the scratch is
+        # allocated at 128 lanes with the value in the
+        # lower 64 (upper half never read back as data) —
+        # the quadrant reads are then the exact two-stride
+        # pattern proven at k == 128, followed by a lane
+        # slice on the loaded VALUE (a cheap mask; a
+        # stride on the value itself lowers to an
+        # unsupported >2D gather).
+        s_ref[0:m, :, 0:64] = v.astype(jnp.float32)
+        for p_r in range(2):
+            for q_c in range(2):
+                act_ref[
+                    p_r, r0 // 2 : r0 // 2 + m // 2,
+                    0:w_half, q_c * n : (q_c + 1) * n,
+                ] = s_ref[p_r : m : 2, q_c :: 2][
+                    :, :, 0:64].astype(act_dt)
+        return
+    s_ref[0:m] = v.astype(jnp.float32)
+    for p_r in range(2):
+        for q_c in range(2):
+            act_ref[
+                p_r, r0 // 2 : r0 // 2 + m // 2, 0:w_half,
+                q_c * n : (q_c + 1) * n,
+            ] = s_ref[p_r : m : 2, q_c :: 2].astype(act_dt)
+
+
+def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, trh, ohh,
+                 ch, tile_w):
+    """Parity-domain all-phase exit (wino_mm last layer).
+
+    ``src``: (H/2, W/2, 8k) dx'-packed parity image; ``w_ref`` the
+    (8k, 8m) _wino_mm_weights layout. Z lanes are dy'·4m + (2p+q)·m + j;
+    combine sums the two dy' phase slices, adds bias ONCE post-combine
+    (the (m,) bias broadcasts over the 4 parity lanes — adding per Z dot
+    would double-count it), and lands half-res parity out blocks one XLA
+    transpose recombines in the wrapper. Linear (no ReLU): reference
+    layer L, ConfigBasedDataPipeline.cpp:66. ``trh`` = input half-res
+    rows, ``ohh`` = tile_h // 2 output half-rows, ``ch`` = chunk rows.
+    """
+    w2 = src.shape[1]
+    m4 = 4 * n
+    k8 = 8 * k
+    for c0 in range(0, trh, ch):
+        ce = min(c0 + ch, trh)
+        z_ref[c0:ce] = jnp.dot(
+            src[c0:ce, 0:w2, 0:k8]
+            .reshape((ce - c0) * w2, k8),
+            w_ref[...],
+            preferred_element_type=jnp.float32,
+        ).reshape(ce - c0, w2, 2 * m4).astype(z_ref.dtype)
+    for c0 in range(0, ohh, ch):
+        ce = min(c0 + ch, ohh)
+        m_r = ce - c0
+        accz = (z_ref[c0:ce, :, 0:m4].astype(jnp.float32)
+                + z_ref[c0 + 1 : ce + 1, :, m4 : 2 * m4]
+                .astype(jnp.float32))
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (m_r, w2, m4), 2)
+        for cc in range(n):
+            for pq in range(4):
+                val = jnp.sum(
+                    jnp.where(lane == pq * n + cc,
+                              accz, 0.0),
+                    axis=-1) + b_ref[cc]
+                out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
+                    val[:, 0 : tile_w // 2])

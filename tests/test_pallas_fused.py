@@ -344,7 +344,7 @@ def test_prepadded_build_skips_tail_pad():
 ])
 def test_fused_plane_input_matches_xla(h, w, l1_rows):
     """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
-    identity-dot transpose — ops/pallas_fused.py plane branch): must
+    identity-dot transpose — ops/pallas_fused/plane.py): must
     match the XLA path like the patch-array build it replaces, at the
     four swept block heights (R=16/S=24 is the compiled-TPU default;
     R=8/S=16 the historical geometry; R=24/S=32 and R=32/S=40 are the

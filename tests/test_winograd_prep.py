@@ -3,7 +3,7 @@
 The round-2 winograd probe (tools/winograd_probe.py) measured the
 F(2x2,3x3) position-matmul formulation 55% cheaper per chunk than the
 shipping sep dots at the RGB (k,n)=(128,128) shape, and the weight-prep
-helpers landed in ``cnn_sr_tpu/ops/pallas_fused.py`` (``_wino_layers``,
+helpers landed in ``cnn_sr_tpu/ops/pallas_fused/`` (``_wino_layers``,
 ``_wino_weights``, ``_wino_mm_weights``) ahead of the kernel mode.
 These tests pin that math in PURE NUMPY against the reference kernel's
 conv formula (layer_uber_kernel.cl:59-95 via

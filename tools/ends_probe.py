@@ -64,8 +64,7 @@ def main(argv=None) -> int:
         return build_on(skip, wino, params, x)
 
     def build_on(skip, wino, params_, x_):
-        pallas_fused._DEBUG_SKIP = skip
-        pallas_fused._fused_tail_single.clear_cache()
+        pallas_fused.set_debug_skip(skip)
         try:
             @functools.partial(jax.jit, static_argnames=("n",))
             def chained(a, n):
@@ -79,8 +78,7 @@ def main(argv=None) -> int:
                 np.asarray(chained(x_, n)[0, 0, 0, 0])
             return lambda n: chained(x_, n)
         finally:
-            pallas_fused._DEBUG_SKIP = frozenset()
-            pallas_fused._fused_tail_single.clear_cache()
+            pallas_fused.set_debug_skip(frozenset())
 
     # scaling diagnostics: half-height and 1-channel variants localize
     # whether the "empty" cost scales with size, channels, or neither

@@ -123,8 +123,7 @@ def main(argv=None) -> int:
         ]
     try:
         for name, skip in modes:
-            pallas_fused._DEBUG_SKIP = skip
-            pallas_fused._fused_tail_single.clear_cache()
+            pallas_fused.set_debug_skip(skip)
             try:
                 results[name] = bench()
                 print(f"{name:<30} {results[name]:7.2f} ms/frame", flush=True)
@@ -133,8 +132,7 @@ def main(argv=None) -> int:
     finally:
         # restore even on KeyboardInterrupt: a lingering skip set would
         # silently poison every later fused_forward in this process
-        pallas_fused._DEBUG_SKIP = frozenset()
-        pallas_fused._fused_tail_single.clear_cache()
+        pallas_fused.set_debug_skip(frozenset())
 
     if "full" in results:
         full = results["full"]
