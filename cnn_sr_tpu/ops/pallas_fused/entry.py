@@ -38,7 +38,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   sep_max_n: int | None = None,
                   l1_rows: int = 16,
                   pipe_combine: bool = True,
-                  wino: bool | None = None):
+                  wino: bool | None = None,
+                  wino5: bool | None = None):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -173,6 +174,13 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     if wino is None:
         wino = not interpret
     wino = bool(wino)
+    # f==5 parity chain (quad-direct dots + f'=3 parity exit — see
+    # _wino_layers ``f5``): None = auto = OFF pending the on-chip
+    # interleaved A/B (the dypack/xpack discipline — land off-default,
+    # measure, then flip). Requires ``wino`` (the chain machinery).
+    if wino5 is None:
+        wino5 = False
+    wino5 = bool(wino5) and wino
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
     sep_prep_fold = frozenset(li - 1 for li in sep_fold)
@@ -203,8 +211,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         h_w, b8 = _plane_h_weights(w1, b1, dtype, use_int8, l1_rows)
         l1_s = _plane_rows(l1_rows, f1)[1]
         dims = ((1, c1 * f1 * l1_s, n1),) + tail_dims
-        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1)
+        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1,
+                                 f5=wino5)
                     if wino else frozenset())
+        if wino_set:
+            pack_last = 1  # the parity exit replaces the packed-dx VPU
         wbs = [h_w, b8] + _prepare_tail_weights(
             params[1:], dtype, pack_last, mm_last,
             sep_prep_fold - frozenset(li - 1 for li in wino_set),
@@ -253,8 +264,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
             l1_dstep = 0
             wbs = [w1m.reshape(kpack, n1).astype(dtype), b1]
             dims = ((1, kpack, n1),) + tail_dims
-        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1)
+        wino_set = (_wino_layers(dims, len(params), mm_last, min_li=1,
+                                 f5=wino5)
                     if wino else frozenset())
+        if wino_set:
+            pack_last = 1
         wbs += _prepare_tail_weights(
             params[1:], dtype, pack_last, mm_last,
             sep_prep_fold - frozenset(li - 1 for li in wino_set),
@@ -278,8 +292,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         out_hw = (x.shape[1] - shrink, x.shape[2] - shrink)
     else:
         dims = tail_dims
-        wino_set = (_wino_layers(dims, len(dims), mm_last, min_li=1)
+        wino_set = (_wino_layers(dims, len(dims), mm_last, min_li=1,
+                                 f5=wino5)
                     if wino else frozenset())
+        if wino_set:
+            pack_last = 1
         wbs = _prepare_tail_weights(params[1:], dtype, pack_last,
                                     mm_last, sep_prep_tail - wino_set,
                                     wino_prep=wino_set,
@@ -295,7 +312,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            l1_rows=l1_rows,
                            prepack_max_deep=prepack_max_deep,
                            mm_last=mm_last, sep_max_n=sep_max_n,
-                           pipe_combine=pipe_combine, wino_on=wino)
+                           pipe_combine=pipe_combine, wino_on=wino,
+                           wino5_on=wino5)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -21,7 +21,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import debug
 from .plane import plane_first_layer
 from .rules import (_MM_CHUNK_ROWS, _plane_rows, _plane_win_hp,
-                    _sep_layers, _wino_layers, _wino_tc, _wino_w_in)
+                    _sep_layers, _wino_layers, _wino_quad,
+                    _wino_tc, _wino_w_in)
 from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
 
 @functools.partial(
@@ -30,7 +31,7 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
-                     "pipe_combine", "wino_on"),
+                     "pipe_combine", "wino_on", "wino5_on"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -42,7 +43,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        prepack_max_deep: int = 384,
                        mm_last: bool = False, sep_max_n: int = 0,
                        pipe_combine: bool = True,
-                       wino_on: bool = False):
+                       wino_on: bool = False,
+                       wino5_on: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -178,13 +180,6 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         hs.append(hs[-1] - s - (l1_ext if li == 0 else 0))
 
     n_out = ns[-1]
-    # activations feeding MXU layers stream in `dtype` (their consumers
-    # cast patches to `dtype` anyway — identical values, half the VMEM);
-    # the last layer's input stays f32 for the VPU tap accumulation —
-    # unless the last layer itself runs on the MXU (``mm_last``)
-    act_dts = [dtype if (mm_last or li + 1 < n_layers - 1)
-               else jnp.float32
-               for li in range(n_layers - 1)]
     # Producer-side patch pre-packing (shallow stacks): an f>1 middle
     # layer's patch scratch is just f column-shifted copies of its
     # producer's output, so the producer stores those copies directly
@@ -231,12 +226,21 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # parity all-phase exit (``wino_mm``). Wino layers leave the sep and
     # prepack sets and carry no Z/patch scratch of their own.
     wino = (_wino_layers(dims, n_layers, mm_last,
-                         min_li=1)
+                         min_li=1, f5=wino5_on)
             if wino_on else frozenset())
     # the chain always reaches the last layer (eligibility is computed
     # back to front from the mm exit), so a nonempty set implies the
     # parity-exit last layer
     wino_mm = bool(wino)
+    fp_ex = (fs[-1] + 1) // 2  # exit half-res phases (2 at f=3, 3 at f=5)
+    # activations feeding MXU layers stream in `dtype` (their consumers
+    # cast patches to `dtype` anyway — identical values, half the VMEM);
+    # the last layer's input stays f32 for the VPU tap accumulation —
+    # unless the last layer itself runs on the MXU (``mm_last``) or as
+    # the parity exit (``wino_mm``)
+    act_dts = [dtype if (mm_last or wino_mm or li + 1 < n_layers - 1)
+               else jnp.float32
+               for li in range(n_layers - 1)]
     # separated-phase layers (see _sep_layers): no Z scratch at all.
     sep = _sep_layers(dims, n_layers, prepack_max_deep, sep_max_n) - wino
     # wino layers read parity planes, not patches; the wino_mm last
@@ -248,7 +252,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # excl. separated-phase and wino layers — wino accumulates AᵀMA in
     # registers; the wino_mm last layer keeps a (half-res) Z); patch
     # scratch only for the ones whose input is not pre-packed
-    n_mxu = n_layers if mm_last else n_layers - 1
+    n_mxu = n_layers if (mm_last or wino_mm) else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
         if fs[li] > 1 and li not in sep and li not in wino)}
@@ -338,7 +342,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 parity_entry_store(
                     act_refs[li], ps_refs[ps_idx[li + 1]], v, n=n,
                     r0=r0, m=r1 - r0, w_half=ws[li + 1] // 2,
-                    act_dt=act_dts[li])
+                    act_dt=act_dts[li],
+                    quad=_wino_quad(fs[li + 1], ks[li + 1]))
                 return
             if li == n_layers - 2 and pack_last > 1:
                 cnt = pack_last
@@ -384,10 +389,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     continue  # triage
                 last_cons = wino_mm and li == n_layers - 2
                 wino_layer(
-                    src, w_ref, b_ref, act_refs[li], k=k, n=n,
+                    src, w_ref, b_ref, act_refs[li], f=f, k=k, n=n,
                     tr_l=oh // 2, tc_l=_wino_tc(ws, li),
-                    last_cons=last_cons,
-                    cons_quad=(not last_cons) and ks[li + 1] == 32,
+                    last_cons=last_cons, exit_fp=fp_ex,
+                    cons_quad=(not last_cons)
+                    and _wino_quad(fs[li + 1], ks[li + 1]),
                     act_dt=act_dt, dtype=dtype)
                 continue
 
@@ -398,8 +404,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     continue  # triage
                 wino_mm_exit(
                     src, w_ref, b_ref, z_refs[pz_idx[li]], out_refs,
-                    k=k, n=n, trh=hs[li] // 2, ohh=tile_h // 2,
-                    ch=ch, tile_w=tile_w)
+                    k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
+                    ohh=tile_h // 2, ch=ch, tile_w=tile_w)
                 continue
 
             if plane and li == 0:
@@ -417,8 +423,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 plane_first_layer(
                     src, w_ref, b_ref, act_refs[li], f1=l1_f,
                     c_in=c_in, oh=oh, nblk=nblk, l1_r=l1_r, l1_s=l1_s,
-                    n=n, cons_wino=1 in wino, ks1=ks[1], cnt=cnt_,
-                    wtgt=wtgt_, act_dt=act_dt, dtype=dtype, skip=skip)
+                    n=n, cons_wino=1 in wino,
+                    cons_quad=1 in wino
+                    and _wino_quad(fs[1], ks[1]),
+                    cnt=cnt_, wtgt=wtgt_, act_dt=act_dt, dtype=dtype,
+                    skip=skip)
                 continue
 
             if f == 1:
@@ -627,8 +636,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             if piped:
                 emit(done, oh, done)  # drain after the last dot
 
-        if mm_last:
-            return  # the last layer already ran through the MXU path
+        if mm_last or wino_mm:
+            return  # the last layer already ran on the MXU / parity exit
 
         # ---- last layer: n_out=1, row-block accumulation on the VPU ----
         # Patch-building would read the source activation f² times through
@@ -700,14 +709,15 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
             # of one rank-3 image instead (lane (2rp+cp)·k + c == 128)
             shape = ((hs[li + 1] // 2, _wino_w_in(ws, li + 1),
                       4 * ns[li])
-                     if ns[li] == 32 else
+                     if _wino_quad(fs[li + 1], ks[li + 1]) else
                      (2, hs[li + 1] // 2,
                       _wino_w_in(ws, li + 1), 2 * ns[li]))
         elif li in wino:
-            # wino output feeding the mm exit: dx'-packed 4k-lane
-            # parity image at half resolution
+            # wino output feeding the mm exit: dx'-packed parity image
+            # at half resolution (fp_ex copies of 4·n lanes)
             shape = (hs[li + 1] // 2,
-                     -(-(ws[li + 2] // 2) // 8) * 8, 8 * ns[li])
+                     -(-(ws[li + 2] // 2) // 8) * 8,
+                     fp_ex * 4 * ns[li])
         elif li + 1 in prepack:
             shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
         else:
@@ -719,10 +729,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # the dot), rolling layers (ch+f−1) rows (see the chunk schedules)
     for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
         if wino_mm and li == n_layers - 1:
-            # parity-exit Z: half-res rows, f'=2 phases of 4m lanes
+            # parity-exit Z: half-res rows, f'=fp_ex phases of 4m lanes
             scratch_shapes.append(pltpu.VMEM(
                 (hs[li] // 2, -(-(ws[li + 1] // 2) // 8) * 8,
-                 8 * ns[li]), dtype))
+                 fp_ex * 4 * ns[li]), dtype))
             continue
         rows = (hs[li + 1] + fs[li] - 1 if li in pipe_z
                 else chunk_rows + fs[li] - 1)

@@ -21,16 +21,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def plane_first_layer(src, w_ref, b_ref, act_ref, *, f1, c_in, oh, nblk,
-                      l1_r, l1_s, n, cons_wino, ks1, cnt, wtgt, act_dt,
-                      dtype, skip):
+                      l1_r, l1_s, n, cons_wino, cons_quad, cnt, wtgt,
+                      act_dt, dtype, skip):
     """Run the plane first layer and store into ``act_ref``.
 
     ``cons_wino``: the consumer is a wino-family layer — the identity
     dot's selection matrix is PERMUTED so the block's output columns
     come out parity-sorted (rows 0:64 ← even cols, 64:128 ← odd) and
     the col-parity split is two PLAIN stores of slab halves riding the
-    already-paid MXU transpose. ``ks1`` = the consumer layer's k (32 →
-    rank-3 quad image, else rank-4 parity planes). ``cnt``/``wtgt``:
+    already-paid MXU transpose. ``cons_quad`` = the consumer reads the
+    rank-3 quad image (4n lane groups; f==3/k==32 and every f==5
+    consumer), else rank-4 parity planes. ``cnt``/``wtgt``:
     prepack copy count and target width for normal consumers (1/width
     when not prepacked). ``skip``: the trace-time _DEBUG_SKIP set.
     """
@@ -97,7 +98,7 @@ def plane_first_layer(src, w_ref, b_ref, act_ref, *, f1, c_in, oh, nblk,
                     rp_, qr = rr % 2, rr // 2
                     x0q = wc // 2
                     qw = (act_ref.shape[1]
-                          if ks1 == 32
+                          if cons_quad
                           else act_ref.shape[2])
                     x1q = min(x0q + 64, qw)
                     if x1q <= x0q:
@@ -105,7 +106,7 @@ def plane_first_layer(src, w_ref, b_ref, act_ref, *, f1, c_in, oh, nblk,
                     for cp_ in range(2):
                         half = slab[cp_ * 64
                                     : cp_ * 64 + (x1q - x0q)]
-                        if ks1 == 32:
+                        if cons_quad:
                             # rank-3 quad image: lane
                             # group (2·rp + cp)·n
                             act_ref[

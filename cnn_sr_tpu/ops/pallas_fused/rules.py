@@ -85,14 +85,29 @@ def _wino_w_in(ws, li):
     return max(-(-(ws[li] // 2) // 8) * 8, _wino_tc(ws, li) + 8)
 
 
-def _wino_layers(dims, n_layers, mm_last, min_li=1):
-    """Middle layers running Winograd F(2x2,3x3) in the parity domain.
+def _wino_quad(f, k):
+    """Input format a parity-domain layer (f, k) reads: True = the
+    rank-3 QUAD image (H/2, W, 4k lanes — all four parities in lane
+    groups), False = rank-4 j-paired parity planes (2, H/2, W, 2k).
+    Every f == 5 layer is quad (its 3×3 half-res tap sweep wants all
+    four parities per read; 4k ≤ 256 = 2 K-tiles at the eligible k);
+    at f == 3 only k == 32 packs into one 128-lane group."""
+    return f == 5 or k == 32
 
-    Eligible (computed back to front): f == 3, k ∈ {32, 64, 128}, and
-    a consumer that reads parity — either another wino-family layer or
-    the last layer under ``mm_last`` with f == 3 and n_out ≤ 16 (its
-    half-res all-phase dot carries 2·4·n_out Z lanes). Three per-k dot
-    regimes share the parity domain:
+
+def _wino_layers(dims, n_layers, mm_last, min_li=1, f5=False):
+    """Middle layers running in the parity domain (Winograd F(2x2,3x3)
+    at f==3; direct QUAD-parity dots at f==5 — see ``f5``).
+
+    Eligible (computed back to front): f == 3 with k ∈ {32, 64, 128}
+    (or, when ``f5``, f == 5 with k ∈ {32, 64}), and a consumer that
+    reads parity — either another wino-family layer or the last layer
+    as the half-res parity all-phase exit. The f==3 exit additionally
+    requires ``mm_last`` (its non-wino fallback is the mm path and the
+    two modes were measured together); an f==5 last layer has no
+    mm_last mode at all (pack_last > 1 at its k ≤ 64), so its exit is
+    gated only by ``f5``. n_out ≤ 16 bounds the exit Z lanes
+    (⌈f/2⌉·4·n_out). Per-shape dot regimes sharing the parity domain:
 
     * k == 128: 16 unpaired position dots, rank-4 (2, H/2, W, 2k)
       parity planes (row parity = plane, col parity = lane group).
@@ -104,6 +119,13 @@ def _wino_layers(dims, n_layers, mm_last, min_li=1):
       (128, 4n) against direct conv weights (no Winograd math: at this
       k the win is pure K/N parity packing; Winograd's MAC saving
       can't beat the packing loss — docs/BENCHMARKS.md).
+    * f == 5 (``f5``): direct QUAD-parity dots over the 3×3 half-res
+      tap sweep — 9 position dots (M, 4k) @ (4k, 4n) accumulating in
+      registers (no Z, no phase combine). Pass math at k=64/n=32:
+      18 K-passes per 512 px vs the all-phase form's 24 (−25%), with
+      the direct-conv numerics of the quad path (F(2x2,5x5)'s non-unit
+      transform coefficients would force VPU multiplies — the k=32
+      lesson, packing alone pays, applies one f up).
 
     Entry stores (``store_act``) cover producers with n ∈ {32, 64,
     128} via the 128-lane-memref strided-quadrant pattern; wino→wino
@@ -116,10 +138,13 @@ def _wino_layers(dims, n_layers, mm_last, min_li=1):
     ks = [d[1] for d in dims]
     ns = [d[2] for d in dims]
     elig: set = set()
-    last_ok = mm_last and fs[-1] == 3 and ns[-1] <= 16
+    last_ok = ns[-1] <= 16 and (
+        (mm_last and fs[-1] == 3) or (f5 and fs[-1] == 5))
     for li in range(n_layers - 2, min_li - 1, -1):
         cons_ok = (li + 1 in elig) or (li + 2 == n_layers and last_ok)
-        if fs[li] == 3 and ks[li] in (32, 64, 128) and cons_ok:
+        ok3 = fs[li] == 3 and ks[li] in (32, 64, 128)
+        ok5 = f5 and fs[li] == 5 and ks[li] in (32, 64)
+        if (ok3 or ok5) and cons_ok:
             elig.add(li)
     return frozenset(elig)
 

@@ -40,34 +40,39 @@ def _wino_weights(w, dtype):
     paired positions instead and its f32 roll+select V mixing measured
     +2 ms/frame on chip (2026-08-21) — folding beats mixing."""
     f, _, k, n = w.shape
-    g_m = jnp.asarray(
-        [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
-    u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
-                   jnp.asarray(w, jnp.float32))
-    if k == 32:
-        # QUAD direct layout (16k, 4n) = 4 slabs of (128, 4n): slab
-        # ro·2 + co, row (2rp + cp)·k + c ↦ tap (i, j) = (2ro+rp,
-        # 2co+cp), col (2p + q)·n + nn = w[i−p, j−q, c, nn] (zero
-        # outside the 3x3 footprint). No Winograd transform — folding
-        # BOTH transforms degenerates to the direct conv in
-        # quad-parity form, and at k == 32 the packing (4k == 128 K
-        # lanes, 4 output parities in N) is the whole win.
+    if f == 5 or k == 32:
+        # QUAD direct layout (T²·4k, 4n), T = ⌈f/2⌉ slab-grid side
+        # (T=2/4 slabs at f==3, T=3/9 slabs at f==5): slab ro·T + co,
+        # row (2rp + cp)·k + c ↦ tap (i, j) = (2ro+rp, 2co+cp), col
+        # (2p + q)·n + nn = w[i−p, j−q, c, nn] (zero outside the f×f
+        # footprint). No Winograd transform — folding BOTH transforms
+        # degenerates to the direct conv in quad-parity form: at
+        # k == 32 the packing (4k == 128 K lanes, 4 output parities in
+        # N) is the whole win, and at f == 5 the 3×3 half-res tap
+        # sweep with 4k ≤ 256 K-lanes beats both the all-phase form
+        # (−25% K-passes at k=64/n=32) and F(2x2,5x5)'s non-unit
+        # transform coefficients (oracle: tests/test_winograd_prep).
+        t_g = (f + 1) // 2
         wf = jnp.asarray(w, jnp.float32)
-        wq = jnp.zeros((4, 4, k, 4, n), jnp.float32)
-        for ro in range(2):
-            for co in range(2):
+        wq = jnp.zeros((t_g * t_g, 4, k, 4, n), jnp.float32)
+        for ro in range(t_g):
+            for co in range(t_g):
                 for rp in range(2):
                     for cp in range(2):
                         i, j = 2 * ro + rp, 2 * co + cp
                         for p_ in range(2):
                             for q_ in range(2):
                                 dy, dx = i - p_, j - q_
-                                if 0 <= dy < 3 and 0 <= dx < 3:
+                                if 0 <= dy < f and 0 <= dx < f:
                                     wq = wq.at[
-                                        ro * 2 + co, 2 * rp + cp, :,
+                                        ro * t_g + co, 2 * rp + cp, :,
                                         2 * p_ + q_, :,
                                     ].set(wf[dy, dx])
-        return wq.reshape(16 * k, 4 * n).astype(dtype)
+        return wq.reshape(t_g * t_g * 4 * k, 4 * n).astype(dtype)
+    g_m = jnp.asarray(
+        [[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], jnp.float32)
+    u = jnp.einsum("ai,bj,ijkn->abkn", g_m, g_m,
+                   jnp.asarray(w, jnp.float32))
     if k == 64:
         at = jnp.asarray(_WINO_AT, jnp.float32)
         bt = jnp.asarray(_WINO_BT, jnp.float32)
@@ -78,11 +83,12 @@ def _wino_weights(w, dtype):
 
 
 def _wino_mm_weights(w, dtype):
-    """(3,3,k,m) last-layer HWIO → the parity-domain all-phase layout
-    (2·4k, 2·4m): the 3x3 full-res conv becomes an f'=2 conv over the
-    half-res 4k-lane parity image. Row dx'·4k + (2a+b)·k + c, column
+    """(f,f,k,m) last-layer HWIO (f ∈ {3, 5}) → the parity-domain
+    all-phase layout (fp·4k, fp·4m), fp = ⌈f/2⌉: the f×f full-res conv
+    becomes an f'=fp conv over the half-res 4k-lane parity image. Row
+    dx'·4k + (2a+b)·k + c, column
     dy'·4m + (2p+q)·m + j holds w[2·dy' + a − p, 2·dx' + b − q, c, j]
-    (zero outside the 3x3 footprint): (a, b) the tap's row/col parity,
+    (zero outside the f×f footprint): (a, b) the tap's row/col parity,
     (p, q) the output pixel's parity, (dy', dx') the half-res offsets.
 
     BIAS TRAP (kernel-mode contract): the layer's (m,) bias is NOT
@@ -93,14 +99,15 @@ def _wino_mm_weights(w, dtype):
     count it (mirrors how the shipping mm_last adds bias post-
     reduction)."""
     f, _, k, m = w.shape
-    if f != 3:
-        # the 0<=dy<f footprint guard below only reaches dy,dx in 0..3:
-        # an f=5 layer would silently lose its outer taps
-        raise ValueError(f"wino_mm requires f==3 last layer, got f={f}")
+    if f not in (3, 5):
+        # the footprint guard below only reaches dy,dx in [0, 2fp):
+        # other f would silently lose taps
+        raise ValueError(f"wino_mm requires f in (3, 5), got f={f}")
+    fp = (f + 1) // 2  # half-res offsets dy', dx' ∈ [0, fp)
     wf = jnp.asarray(w, jnp.float32)
-    wp = jnp.zeros((2, 4, k, 2, 4, m), jnp.float32)
-    for dyp in range(2):
-        for dxp in range(2):
+    wp = jnp.zeros((fp, 4, k, fp, 4, m), jnp.float32)
+    for dyp in range(fp):
+        for dxp in range(fp):
             for a in range(2):
                 for b in range(2):
                     for p in range(2):
@@ -110,7 +117,7 @@ def _wino_mm_weights(w, dtype):
                             if 0 <= dy < f and 0 <= dx < f:
                                 wp = wp.at[dxp, 2 * a + b, :,
                                            dyp, 2 * p + q, :].set(wf[dy, dx])
-    return wp.reshape(8 * k, 8 * m).astype(dtype)
+    return wp.reshape(fp * 4 * k, fp * 4 * m).astype(dtype)
 
 def _quantize_planes(x, k: int):
     """Per-channel int8 quantization of an (N, H, W, k) image: x·127,

@@ -22,21 +22,25 @@ import jax.numpy as jnp
 from .rules import _WINO_AT, _WINO_BT, _WINO_TRG
 
 
-def wino_layer(src, w_ref, b_ref, act_ref, *, k, n, tr_l, tc_l,
-               last_cons, cons_quad, act_dt, dtype):
-    """One Winograd-family middle layer in the parity domain.
+def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
+               last_cons, cons_quad, exit_fp, act_dt, dtype):
+    """One parity-domain middle layer (Winograd family at f==3, direct
+    QUAD dots at f==5).
 
     ``src`` holds parity planes (2, H/2, W/2p, 2k) — plane = row parity,
-    lane group = col parity (k == 64/128) — or the rank-3 quad image
-    (H/2, W_in, 4k) at k == 32; every tap d[2i+a, 2j+b] is a contiguous
-    (rows, TC, k) slice. Factored transform: per BᵀdB row-parity pa,
-    4 single-add row combos R[jb], then per col pb one combo
-    V = ±R[j1] ± R[j2]; position dots at full MXU K-fill; AᵀMA
-    accumulates incrementally into the 4 parity Y accumulators
-    (coeffs 0/±1). Measured −55% vs sep at (128,128), −43% at (128,64)
-    per chunk. ``act_ref`` is the consumer's input ref; ``last_cons``
-    = the consumer is the parity mm exit (dx'-packed store),
-    ``cons_quad`` = the consumer is a k==32 quad layer.
+    lane group = col parity (f==3, k == 64/128) — or the rank-3 quad
+    image (H/2, W_in, 4k) at f==3/k==32 and every f==5 layer; every tap
+    d[2i+a, 2j+b] is a contiguous (rows, TC, k) slice. f==3 factored
+    transform: per BᵀdB row-parity pa, 4 single-add row combos R[jb],
+    then per col pb one combo V = ±R[j1] ± R[j2]; position dots at full
+    MXU K-fill; AᵀMA accumulates incrementally into the 4 parity Y
+    accumulators (coeffs 0/±1). Measured −55% vs sep at (128,128),
+    −43% at (128,64) per chunk. f==5: 3×3 half-res tap sweep of direct
+    quad dots (M, 4k) @ (4k, 4n) — no transform (see _wino_weights).
+    ``act_ref`` is the consumer's input ref; ``last_cons`` = the
+    consumer is the parity mm exit (dx'-packed store, ``exit_fp``
+    col-shifted copies), ``cons_quad`` = the consumer reads the rank-3
+    quad image.
     """
 
     def wtap(a_p, b_p, t0, rows):
@@ -51,11 +55,11 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, k, n, tr_l, tc_l,
                 0.0).astype(act_dt)
             if last_cons:
                 # dx'-packed parity image for the mm exit:
-                # lane dx'·4n + (2p+q)·n + j, 2 col-shifted
-                # copies (the f'=2 all-phase prepack)
+                # lane dx'·4n + (2p+q)·n + j, exit_fp col-shifted
+                # copies (the f'=fp all-phase prepack)
                 wlast = act_ref.shape[1]
-                assert wlast + 1 <= tc_l
-                for dxp in range(2):
+                assert wlast + exit_fp - 1 <= tc_l
+                for dxp in range(exit_fp):
                     act_ref[
                         t0 : t0 + rows, :,
                         dxp * 4 * n + pq * n
@@ -82,29 +86,33 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, k, n, tr_l, tc_l,
                     (pq % 2) * n : (pq % 2 + 1) * n,
                 ] = val[:, 0:wt]
 
-    if k == 32:
-        # ---- QUAD direct parity all-phase (k==32) ----
-        # src is the rank-3 quad image (H/2, W_in, 4k):
-        # one 128-lane read at (row off ro, col off co)
-        # delivers ALL FOUR parities of taps (2ro+rp,
-        # 2co+cp) — 4 raw-tap dots against the direct-conv
-        # quad weights (no transform stage at all), output
-        # col groups = the 4 output parities. Pure packing
-        # win: 4·⌈4n/128⌉ M-passes vs sep's 12 per tile.
+    if f == 5 or k == 32:
+        # ---- QUAD direct parity all-phase (f==3/k==32 and every
+        # f==5 layer) ----
+        # src is the rank-3 quad image (H/2, W_in, 4k): one 4k-lane
+        # read at (row off ro, col off co) delivers ALL FOUR parities
+        # of taps (2ro+rp, 2co+cp) — T² raw-tap dots (T = ⌈f/2⌉)
+        # against the direct-conv quad weights (no transform stage at
+        # all), output col groups = the 4 output parities. Pure
+        # packing win: at f=3/k=32, 4·⌈4n/128⌉ M-passes vs sep's 12
+        # per tile; at f=5/k=64, 9 dots × 2 K-passes per 512 px vs
+        # the all-phase form's 24 (−25%).
+        t_g = (f + 1) // 2
+        k4 = 4 * k
         for t0 in range(0, tr_l, _WINO_TRG):
             rows = min(_WINO_TRG, tr_l - t0)
             mrow = rows * tc_l
             s_all = None
-            for ro in range(2):
-                for co in range(2):
+            for ro in range(t_g):
+                for co in range(t_g):
                     r_op = src[
                         t0 + ro : t0 + ro + rows,
-                        co : co + tc_l, 0:128,
-                    ].reshape(mrow, 128)
+                        co : co + tc_l, 0:k4,
+                    ].reshape(mrow, k4)
                     mdot = jax.lax.dot_general(
                         r_op.astype(dtype),
-                        w_ref[(ro * 2 + co) * 128
-                              : (ro * 2 + co + 1) * 128],
+                        w_ref[(ro * t_g + co) * k4
+                              : (ro * t_g + co + 1) * k4],
                         dimension_numbers=(((1,), (0,)),
                                            ((), ())),
                         preferred_element_type=jnp.float32)
@@ -209,19 +217,22 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, k, n, tr_l, tc_l,
         emit_ys(ys, t0, rows)
 
 
-def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt):
+def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt,
+                       quad=False):
     """Parity-split store for a wino consumer: rows/cols de-interleave
     into (row-parity plane, col-parity lane group) — f32 scratch + four
     stride-2 quadrant loads (measured ~free vs the flat store: 9.28 vs
     9.94 us/chunk, tools/winograd_probe.py `repack`). Chunk starts are
     even (chunk_rows and every emit boundary are even when f is odd and
     oh is even — both gated). ``s_ref``: the producer's 128-lane f32
-    parity-split scratch; ``act_ref``: the consumer's input ref."""
-    if n == 32:
-        # quad entry: all four parities into the lanes of
-        # the consumer's rank-3 quad image — same 128-lane
-        # scratch + two-stride quadrant reads as below
-        s_ref[0:m, :, 0:32] = v.astype(jnp.float32)
+    parity-split scratch; ``act_ref``: the consumer's input ref;
+    ``quad``: the consumer reads the rank-3 quad image (4n lane
+    groups) instead of rank-4 parity planes."""
+    if quad:
+        # quad entry: all four parities into the lane groups of the
+        # consumer's rank-3 quad image — 128-lane scratch (value in
+        # the lower n lanes when n < 128) + two-stride quadrant reads
+        s_ref[0:m, :, 0:n] = v.astype(jnp.float32)
         for p_r in range(2):
             for q_c in range(2):
                 act_ref[
@@ -229,7 +240,7 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt):
                     (2 * p_r + q_c) * n
                     : (2 * p_r + q_c + 1) * n,
                 ] = s_ref[p_r : m : 2, q_c :: 2][
-                    :, :, 0:32].astype(act_dt)
+                    :, :, 0:n].astype(act_dt)
         return
     if n == 64:
         # k == 64 entry: Mosaic strided ops need the
@@ -259,13 +270,14 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt):
             ] = s_ref[p_r : m : 2, q_c :: 2].astype(act_dt)
 
 
-def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, trh, ohh,
-                 ch, tile_w):
+def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
+                 ohh, ch, tile_w):
     """Parity-domain all-phase exit (wino_mm last layer).
 
-    ``src``: (H/2, W/2, 8k) dx'-packed parity image; ``w_ref`` the
-    (8k, 8m) _wino_mm_weights layout. Z lanes are dy'·4m + (2p+q)·m + j;
-    combine sums the two dy' phase slices, adds bias ONCE post-combine
+    ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
+    (fp·4k, fp·4m) _wino_mm_weights layout (``fp`` = ⌈f/2⌉ half-res
+    phases: 2 at f==3, 3 at f==5). Z lanes are dy'·4m + (2p+q)·m + j;
+    combine sums the fp dy' phase slices, adds bias ONCE post-combine
     (the (m,) bias broadcasts over the 4 parity lanes — adding per Z dot
     would double-count it), and lands half-res parity out blocks one XLA
     transpose recombines in the wrapper. Linear (no ReLU): reference
@@ -274,21 +286,23 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, trh, ohh,
     """
     w2 = src.shape[1]
     m4 = 4 * n
-    k8 = 8 * k
+    kf = fp * 4 * k
     for c0 in range(0, trh, ch):
         ce = min(c0 + ch, trh)
         z_ref[c0:ce] = jnp.dot(
-            src[c0:ce, 0:w2, 0:k8]
-            .reshape((ce - c0) * w2, k8),
+            src[c0:ce, 0:w2, 0:kf]
+            .reshape((ce - c0) * w2, kf),
             w_ref[...],
             preferred_element_type=jnp.float32,
-        ).reshape(ce - c0, w2, 2 * m4).astype(z_ref.dtype)
+        ).reshape(ce - c0, w2, fp * m4).astype(z_ref.dtype)
     for c0 in range(0, ohh, ch):
         ce = min(c0 + ch, ohh)
         m_r = ce - c0
-        accz = (z_ref[c0:ce, :, 0:m4].astype(jnp.float32)
-                + z_ref[c0 + 1 : ce + 1, :, m4 : 2 * m4]
-                .astype(jnp.float32))
+        accz = z_ref[c0:ce, :, 0:m4].astype(jnp.float32)
+        for dyp in range(1, fp):
+            accz = accz + z_ref[
+                c0 + dyp : ce + dyp, :, dyp * m4 : (dyp + 1) * m4
+            ].astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (m_r, w2, m4), 2)
         for cc in range(n):

@@ -241,3 +241,70 @@ def test_wino_pretrained_rgb_psnr_tracks_sep():
     # (on-chip 1080p measured 48.3 vs 49.0 dB — docs/BENCHMARKS.md)
     assert p_win >= min(p_sep - 1.5, 60.0) and p_win >= 40.0, (
         p_sep, p_win)
+
+
+def test_wino5_kernel_flagship_chain():
+    """The f==5 parity chain (quad-direct conv2 + f'=3 parity exit) on
+    flagship-shaped 9-5-5 models matches the XLA forward exactly in
+    f32, for both the folded-patch and raw-plane first layers and both
+    production k regimes (quad-256 at n1=64, quad-128 at n1=32).
+    VERDICT r3 #1; reference math layer_uber_kernel.cl:59-95 at
+    F_SPATIAL_SIZE=5."""
+    rng = np.random.default_rng(21)
+    for n1, n2 in ((64, 32), (32, 8)):
+        p = _params(rng, [(9, 1, n1), (5, n1, n2), (5, n2, 1)])
+        x = jnp.asarray(
+            rng.standard_normal((1, 44, 150, 1)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        for kw in ({"plane_input": False},
+                   {"plane_input": True, "l1_rows": 8}):
+            y = np.asarray(fused_forward(
+                p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                wino=True, wino5=True, **kw))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"n1={n1} {kw}")
+
+
+def test_wino5_kernel_odd_geometry():
+    """Odd H and W (ragged parity domain) through the f==5 chain."""
+    rng = np.random.default_rng(23)
+    p = _params(rng, [(9, 1, 32), (5, 32, 8), (5, 8, 1)])
+    x = jnp.asarray(
+        rng.standard_normal((1, 41, 139, 1)).astype(np.float32) * 0.4)
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True, wino5=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino5_off_by_default():
+    """``wino5`` defaults OFF (pending the on-chip interleaved A/B —
+    the dypack/xpack discipline): wino=True alone must leave an f==5
+    model on the packed-dx path with identical output."""
+    rng = np.random.default_rng(25)
+    p = _params(rng, [(9, 1, 32), (5, 32, 8), (5, 8, 1)])
+    x = jnp.asarray(
+        rng.standard_normal((1, 40, 140, 1)).astype(np.float32) * 0.4)
+    y_ref = np.asarray(forward(p, x))
+    y = np.asarray(fused_forward(p, x, tile_h=16, tile_w=128,
+                                 dtype=jnp.float32, wino=True))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_wino5_bf16_int8_track_default():
+    """Production wiring (bf16 stream + int8 plane input): the f==5
+    chain must track the shipping packed-dx path within the stream
+    dtype's rounding envelope (same discipline as the f==3 chain's
+    bf16/int8 test)."""
+    rng = np.random.default_rng(27)
+    p = _params(rng, [(9, 1, 32), (5, 32, 8), (5, 8, 1)])
+    x = jnp.asarray(np.clip(
+        rng.standard_normal((1, 44, 150, 1)).astype(np.float32) * 0.3,
+        -1, 1))
+    base = np.asarray(fused_forward(p, x, tile_h=32, tile_w=128,
+                                    input_int8=True, plane_input=True,
+                                    wino=True))
+    y5 = np.asarray(fused_forward(p, x, tile_h=32, tile_w=128,
+                                  input_int8=True, plane_input=True,
+                                  wino=True, wino5=True))
+    assert np.max(np.abs(y5 - base)) < 0.05, np.max(np.abs(y5 - base))

@@ -285,3 +285,104 @@ def test_wino_layers_eligibility():
     broken = [(3, 1, 128), (3, 128, 128), (5, 128, 128),
               (3, 128, 128), (3, 128, 3)]
     assert pf._wino_layers(broken, 5, mm_last=True) == frozenset({3})
+
+
+@pytest.mark.parametrize("k,n", [(32, 8), (64, 32)])
+def test_wino_weights_quad_f5_tiled_conv_matches_oracle(k, n):
+    """f == 5 QUAD direct layout (9·4k, 4n): the 3×3 half-res tap
+    sweep — lane (2rp+cp)·k + c of read (ro, co) holds
+    d[2(t+ro)+rp, 2(u+co)+cp, c] — dotted against the 9 slabs and
+    summed reproduces the 5×5 conv directly (no transform; output col
+    groups are the 4 output parities). The f==5 arm of the round-4
+    flagship chain (VERDICT r3 #1, layer_uber_kernel.cl:59-95 at
+    F_SPATIAL_SIZE=5)."""
+    h, w_cols = 14, 16
+    act = RNG.standard_normal((h, w_cols, k)).astype(np.float32)
+    w = (RNG.standard_normal((5, 5, k, n)) * 0.3).astype(np.float32)
+    b = RNG.standard_normal(n).astype(np.float32)
+
+    wp = np.asarray(pf._wino_weights(jnp.asarray(w), jnp.float32))
+    assert wp.shape == (9 * 4 * k, 4 * n)
+    slabs = wp.reshape(9, 4 * k, 4 * n).astype(np.float64)
+
+    oh, ow = h - 4, w_cols - 4
+    out = np.zeros((oh, ow, n), np.float64)
+    for ti in range(oh // 2):
+        for tj in range(ow // 2):
+            d = act[2 * ti:2 * ti + 6, 2 * tj:2 * tj + 6]
+            s = np.zeros(4 * n)
+            for ro in range(3):
+                for co in range(3):
+                    r_op = np.zeros(4 * k)
+                    for rp in range(2):
+                        for cp in range(2):
+                            r_op[(2 * rp + cp) * k:(2 * rp + cp + 1) * k] = \
+                                d[2 * ro + rp, 2 * co + cp]
+                    s = s + r_op @ slabs[ro * 3 + co]
+            for p in range(2):
+                for q in range(2):
+                    out[2 * ti + p, 2 * tj + q] = \
+                        s[(2 * p + q) * n:(2 * p + q + 1) * n]
+    out = np.maximum(out + b, 0.0).astype(np.float32)
+
+    ref = oracles.conv_forward_vec(act, w, b, relu=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_wino_mm_weights_f5_parity_allphase_matches_oracle():
+    """The (12k, 12m) f==5 parity all-phase exit layout: Z[I] = three
+    dx'-shifted parity-row dots, output = the 3-phase dy' row combine
+    Σ_dy' Z[I+dy'][dy' slice] — the f'=3 generalization of the f==3
+    exit convention (lanes (2p+q)·m + j hold output (2I+p, 2J+q, j))."""
+    k, m = 8, 1
+    h, w_cols = 16, 18
+    y = RNG.standard_normal((h, w_cols, k)).astype(np.float32)
+    w = (RNG.standard_normal((5, 5, k, m)) * 0.3).astype(np.float32)
+
+    wp = np.asarray(pf._wino_mm_weights(jnp.asarray(w), jnp.float32))
+    assert wp.shape == (12 * k, 12 * m)
+
+    pimg = parity_pack(y).astype(np.float64)          # (H/2, W/2, 4k)
+    hh, hw = pimg.shape[:2]
+    # all-phase operand: A[I, J, dx'·4k + lane] = P[I, J + dx', lane]
+    a_op = np.concatenate(
+        [pimg[:, dxp:hw - 2 + dxp] for dxp in range(3)], axis=-1)
+    z = a_op @ wp.astype(np.float64)                  # (H/2, W/2-2, 12m)
+    m4 = 4 * m
+    out_par = (z[:hh - 2, :, 0:m4] + z[1:hh - 1, :, m4:2 * m4]
+               + z[2:, :, 2 * m4:3 * m4])
+
+    ref = oracles.conv_forward_vec(
+        y, w, np.zeros(m, np.float32), relu=False).astype(np.float64)
+    oh, ow = ref.shape[:2]
+    got = np.zeros_like(ref)
+    for p in range(2):
+        for q in range(2):
+            got[p::2, q::2] = out_par[
+                :oh // 2, :ow // 2, (2 * p + q) * m:(2 * p + q + 1) * m]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_wino_layers_eligibility_f5():
+    """The ``f5`` gate: f==5 middles (k ∈ {32, 64}) + the f==5 parity
+    exit chain ONLY when f5=True; f5=False (the shipping default until
+    the on-chip A/B) leaves every f==5 dims set empty and the f==3
+    chains untouched."""
+    flagship = ((1, 81, 64), (5, 64, 32), (5, 32, 1))
+    assert pf._wino_layers(flagship, 3, mm_last=False, f5=True) == \
+        frozenset({1})
+    assert pf._wino_layers(flagship, 3, mm_last=False) == frozenset()
+    # n1=32 variant (quad-128 conv2)
+    f915b = ((1, 81, 32), (5, 32, 8), (5, 8, 1))
+    assert pf._wino_layers(f915b, 3, mm_last=False, f5=True) == \
+        frozenset({1})
+    # f==5 k=128 stays ineligible (4 K-tiles per tap — not built)
+    big = ((1, 81, 128), (5, 128, 32), (5, 32, 1))
+    assert pf._wino_layers(big, 3, mm_last=False, f5=True) == frozenset()
+    # f5 exit requires n_out <= 16 like the f3 exit
+    wide = ((1, 81, 64), (5, 64, 32), (5, 32, 32))
+    assert pf._wino_layers(wide, 3, mm_last=False, f5=True) == frozenset()
+    # the f==3 RGB chain is unchanged under the flag
+    assert pf._wino_layers(RGB7, 7, mm_last=True, f5=True) == \
+        frozenset({1, 2, 3, 4, 5})
+    assert pf._wino_layers(RGB7, 7, mm_last=False, f5=True) == frozenset()

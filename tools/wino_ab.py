@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Interleaved on-chip A/B: 7-layer RGB frame, Winograd mode on vs off.
+"""Interleaved on-chip A/B: parity-domain kernel mode vs the baseline.
 
 Measures the MARGINAL per-frame cost (two scan lengths, slope — the
 docs/BENCHMARKS.md methodology that subtracts the tunnel's fixed
-dispatch latency) for ``fused_forward(..., wino=False)`` (the shipping
-sep path) and ``wino=True`` (Winograd F(2x2,3x3) parity-domain mode),
-alternating A/B within each round so tunnel drift hits both equally.
+dispatch latency), alternating A/B within each round so tunnel drift
+hits both equally. ``--config rgb`` (default): the 7-layer RGB frame,
+``wino=False`` (sep path) vs ``wino=True`` (F(2x2,3x3) parity chain).
+``--config flagship``: SRCNN 9-5-5 1080p luma, the shipping packed-dx
+path vs ``wino5=True`` (f==5 quad-direct chain + f'=3 parity exit —
+VERDICT r4 #1).
 
 Run serialized (never concurrently with another TPU process):
 
@@ -26,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=("rgb", "flagship"),
+                   default="rgb")
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--iters", type=int, default=12,
                    help="long scan length (short = iters//3)")
@@ -56,37 +61,53 @@ def main(argv=None) -> int:
     from cnn_sr_tpu.utils.config import parse_config
     from cnn_sr_tpu.utils.params_io import random_parameters
 
-    cfg_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "configs", "waifu2x_7layer_rgb.json")
-    with open(cfg_path) as fh:
-        cfg = parse_config(json.load(fh))
+    if args.config == "rgb":
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "waifu2x_7layer_rgb.json")
+        with open(cfg_path) as fh:
+            cfg = parse_config(json.load(fh))
+        channels = 3
+        ab = (("sep", dict(wino=False)), ("wino", dict(wino=True)))
+    else:  # flagship 9-5-5 (n1=64, n2=32) luma
+        raw = {"n1": 64, "n2": 32, "f1": 9, "f2": 5, "f3": 5,
+               "momentum": 0.9, "weight_decay_parameter": 1e-4,
+               "learning_rates": [1e-4, 1e-4, 1e-5]}
+        for i in (1, 2, 3):
+            raw[f"parameters_distribution_{i}"] = {
+                "mean_w": 0.0, "mean_b": 0.0,
+                "std_deviation_w": 0.005, "std_deviation_b": 0.0}
+        cfg = parse_config(raw)
+        channels = 1
+        ab = (("base", dict(wino=True)),
+              ("wino5", dict(wino=True, wino5=True)))
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
     x = jnp.asarray(np.random.default_rng(0).random(
-        (1, args.height, args.width, 3), np.float32) - 0.5)
+        (1, args.height, args.width, channels), np.float32) - 0.5)
 
     import functools
 
-    def make(wino):
+    def make(**kw):
         @functools.partial(jax.jit, static_argnames=("n",))
         def chained(a, n):
             def body(c, _):
                 y = pallas_fused.fused_forward(
-                    params, c, input_int8=not args.no_int8, wino=wino)
+                    params, c, input_int8=not args.no_int8, **kw)
                 return c.at[0, 0, 0, 0].set(y[0, 0, 0, 0]), ()
             return lax.scan(body, a, None, length=n)[0]
         return chained
 
-    variants = {"sep": make(False), "wino": make(True)}
+    (name_a, kw_a), (name_b, kw_b) = ab
+    variants = {name_a: make(**kw_a), name_b: make(**kw_b)}
     short, long_ = max(1, args.iters // 3), args.iters
 
     if args.parity:
         ya = np.asarray(pallas_fused.fused_forward(
-            params, x, input_int8=not args.no_int8, wino=False))
+            params, x, input_int8=not args.no_int8, **kw_a))
         yb = np.asarray(pallas_fused.fused_forward(
-            params, x, input_int8=not args.no_int8, wino=True))
+            params, x, input_int8=not args.no_int8, **kw_b))
         print(f"parity max|diff| = {np.abs(ya - yb).max():.3e}")
 
     if args.sweep:
@@ -118,17 +139,19 @@ def main(argv=None) -> int:
         print(f"sweep seed {seed}: {shapes}")
         worst, failures = 0.0, []
         for (h, w) in shapes:
-            xs = jnp.asarray(srng.random((1, h, w, 3), np.float32) - 0.5)
+            xs = jnp.asarray(
+                srng.random((1, h, w, channels), np.float32) - 0.5)
             ya = np.asarray(pallas_fused.fused_forward(
-                params, xs, input_int8=not args.no_int8, wino=False))
+                params, xs, input_int8=not args.no_int8, **kw_a))
             yb = np.asarray(pallas_fused.fused_forward(
-                params, xs, input_int8=not args.no_int8, wino=True))
+                params, xs, input_int8=not args.no_int8, **kw_b))
             d = float(np.abs(ya - yb).max())
             worst = max(worst, d)
             status = "ok" if d <= args.sweep_tol else "FAIL"
             if status == "FAIL":
                 failures.append((h, w, d))
-            print(f"  {h:4d}x{w:<4d}: max|wino-sep| = {d:.3e}  {status}")
+            print(f"  {h:4d}x{w:<4d}: max|{name_b}-{name_a}| = "
+                  f"{d:.3e}  {status}")
         print(f"sweep worst = {worst:.3e} over {len(shapes)} shapes "
               f"(tol {args.sweep_tol:g})")
         if failures:
