@@ -175,11 +175,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         wino = not interpret
     wino = bool(wino)
     # f==5 parity chain (quad-direct dots + f'=3 parity exit — see
-    # _wino_layers ``f5``): None = auto = OFF pending the on-chip
-    # interleaved A/B (the dypack/xpack discipline — land off-default,
-    # measure, then flip). Requires ``wino`` (the chain machinery).
+    # _wino_layers ``f5``): None = auto = ON for compiled TPU runs
+    # after the measured interleaved win (flagship 9-5-5 1080p:
+    # wino5 4.57 vs base 7.39 ms/frame marginal, 4/4 rounds, on-chip
+    # parity 3.0e-6 — tools/wino_ab.py --config flagship, 2026-08-21).
+    # Interpret mode keeps the packed-dx path (same auto rule as
+    # ``wino``); dedicated tests pass wino5=True. Requires ``wino``
+    # (the chain machinery).
     if wino5 is None:
-        wino5 = False
+        wino5 = not interpret
     wino5 = bool(wino5) and wino
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
