@@ -56,14 +56,41 @@ def _degrade_jax(large, out_size, degrade_factor):
     return Image.fromarray(out, "RGB")
 
 
+def _value_noise(rng, big, octaves=3, base=8):
+    """Multi-octave value noise in [0, 1]: coarse random grids
+    bicubic-upscaled and summed with 1/2^o weights — band-limited
+    texture with natural-image-like spectral falloff (the reference
+    README's own weak cases are textures and smooth gradients,
+    README.md:16-20; pure shape/gradient data never teaches them)."""
+    import numpy as np
+
+    acc = np.zeros((big, big), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        g = base * (2 ** o)
+        coarse = rng.random((g, g), np.float32)
+        up = np.asarray(
+            Image.fromarray((coarse * 255).astype(np.uint8), "L")
+            .resize((big, big), Image.BICUBIC), np.float32) / 255.0
+        acc += amp * up
+        total += amp
+        amp *= 0.5
+    return acc / total
+
+
 def synth_image(rng, size: int = 256) -> Image.Image:
-    """Procedural RGB image: smooth gradient background + anti-aliased
-    ellipses, rotated rectangles and strokes at random orientations.
+    """Procedural RGB image: smooth gradient background + band-limited
+    texture fields + anti-aliased ellipses, rotated rectangles and
+    strokes at random orientations (shapes randomly texture-filled).
 
     Deterministic given ``rng`` (a ``numpy.random.Generator``). Edge
     density and orientation coverage are what SRCNN's receptive field
     learns from; drawing at 4x and Lanczos-downscaling gives edges
-    natural partial-pixel coverage instead of binary staircases."""
+    natural partial-pixel coverage instead of binary staircases. The
+    texture octaves target the reference's documented weak cases
+    (textures/gradients — README.md:16-20): degrade-then-restore on
+    band-limited texture is exactly the deconvolution problem natural
+    photos pose."""
     import numpy as np
 
     big = size * 4
@@ -84,8 +111,36 @@ def synth_image(rng, size: int = 256) -> Image.Image:
         )
         chans.append(g)
     arr = np.clip(np.stack(chans, axis=-1), 0.0, 1.0)
+    # background texture: a value-noise field modulating all channels
+    # (amplitude varies per image; some images stay near-smooth so the
+    # smooth-gradient regime remains represented)
+    tex_amp = float(rng.uniform(0.0, 0.35))
+    if tex_amp > 0.02:
+        tex = _value_noise(rng, big, octaves=int(rng.integers(2, 5)),
+                           base=int(rng.integers(6, 14)))
+        arr = np.clip(arr + tex_amp * (tex - 0.5)[..., None], 0.0, 1.0)
     im = Image.fromarray(np.round(arr * 255.0).astype(np.uint8), "RGB")
     draw = ImageDraw.Draw(im)
+    # textured shape fills: drawn on a separate layer and composited
+    # through the shape mask with per-shape texture amplitude
+    n_tex_shapes = int(rng.integers(0, 5))
+    for _ in range(n_tex_shapes):
+        color = np.asarray(rng.integers(0, 256, 3), np.float32)
+        x0, y0 = (int(v) for v in rng.integers(0, big, 2))
+        w, h = (int(v) for v in rng.integers(big // 16, big // 2, 2))
+        mask = Image.new("L", (big, big), 0)
+        mdraw = ImageDraw.Draw(mask)
+        if int(rng.integers(0, 2)):
+            mdraw.ellipse([x0, y0, x0 + w, y0 + h], fill=255)
+        else:
+            mdraw.rectangle([x0, y0, x0 + w, y0 + h], fill=255)
+        t = _value_noise(rng, big, octaves=3,
+                         base=int(rng.integers(8, 20)))
+        amp = float(rng.uniform(0.2, 0.8))
+        fill = np.clip(
+            color[None, None] * (1.0 - amp + amp * 2.0 * t[..., None]),
+            0, 255).astype(np.uint8)
+        im.paste(Image.fromarray(fill, "RGB"), (0, 0), mask)
     for _ in range(int(rng.integers(12, 30))):
         kind = int(rng.integers(0, 3))
         color = tuple(int(v) for v in rng.integers(0, 256, 3))
