@@ -405,7 +405,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 wino_mm_exit(
                     src, w_ref, b_ref, z_refs[pz_idx[li]], out_refs,
                     k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
-                    ohh=tile_h // 2, ch=ch, tile_w=tile_w)
+                    ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip)
                 continue
 
             if plane and li == 0:

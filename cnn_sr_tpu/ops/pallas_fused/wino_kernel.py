@@ -271,7 +271,7 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt,
 
 
 def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
-                 ohh, ch, tile_w):
+                 ohh, ch, tile_w, skip=frozenset()):
     """Parity-domain all-phase exit (wino_mm last layer).
 
     ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
@@ -289,12 +289,19 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
     kf = fp * 4 * k
     for c0 in range(0, trh, ch):
         ce = min(c0 + ch, trh)
+        if "last_dot" in skip:  # triage-only: input-dependent Z fill
+            z_ref[c0:ce] = jnp.broadcast_to(
+                src[c0:c0 + 1, 0:1, 0:1].astype(z_ref.dtype)
+                .reshape(1, 1, 1), (ce - c0, w2, fp * m4))
+            continue
         z_ref[c0:ce] = jnp.dot(
             src[c0:ce, 0:w2, 0:kf]
             .reshape((ce - c0) * w2, kf),
             w_ref[...],
             preferred_element_type=jnp.float32,
         ).reshape(ce - c0, w2, fp * m4).astype(z_ref.dtype)
+    if "last_combine" in skip:  # triage-only: skip combine + out store
+        return
     for c0 in range(0, ohh, ch):
         ce = min(c0 + ch, ohh)
         m_r = ce - c0

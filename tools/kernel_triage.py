@@ -120,6 +120,10 @@ def main(argv=None) -> int:
              frozenset({"mid_combine"})),
             ("-mid_store (act/prepack stores)", frozenset({"mid_store"})),
             ("-l1_store (l1 prepack stores)", frozenset({"l1_store"})),
+            # parity-exit sub-stages (wino_mm last layer only)
+            ("-last_dot (exit Z dot)", frozenset({"last_dot"})),
+            ("-last_combine (exit combine+store)",
+             frozenset({"last_combine"})),
         ]
     try:
         for name, skip in modes:

@@ -79,7 +79,11 @@ def main(argv=None) -> int:
                 "std_deviation_w": 0.005, "std_deviation_b": 0.0}
         cfg = parse_config(raw)
         channels = 1
-        ab = (("base", dict(wino=True)),
+        # wino5=False must be EXPLICIT: since the 2026-08-21 default
+        # flip it auto-resolves ON for compiled TPU runs, and an
+        # unpinned "base" silently A/Bs wino5 against itself (caught
+        # when the first sweep read bit-exact 0.0 everywhere)
+        ab = (("base", dict(wino=True, wino5=False)),
               ("wino5", dict(wino=True, wino5=True)))
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
