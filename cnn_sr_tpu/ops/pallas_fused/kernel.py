@@ -31,7 +31,8 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "chunk_rows", "pack_last", "l1_gpack", "l1_dstep",
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
-                     "pipe_combine", "wino_on", "wino5_on"),
+                     "pipe_combine", "wino_on", "wino5_on",
+                     "exit_noz"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -44,7 +45,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        mm_last: bool = False, sep_max_n: int = 0,
                        pipe_combine: bool = True,
                        wino_on: bool = False,
-                       wino5_on: bool = False):
+                       wino5_on: bool = False,
+                       exit_noz: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -255,7 +257,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     n_mxu = n_layers if (mm_last or wino_mm) else n_layers - 1
     pz_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
-        if fs[li] > 1 and li not in sep and li not in wino)}
+        if fs[li] > 1 and li not in sep and li not in wino
+        and not (wino_mm and exit_noz and li == n_layers - 1))}
     pp_idx = {li: i for i, li in enumerate(
         li for li in range(n_mxu)
         if fs[li] > 1 and li not in prepack and li not in wino
@@ -403,9 +406,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 if "last" in skip:
                     continue  # triage
                 wino_mm_exit(
-                    src, w_ref, b_ref, z_refs[pz_idx[li]], out_refs,
-                    k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
-                    ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip)
+                    src, w_ref, b_ref,
+                    None if exit_noz else z_refs[pz_idx[li]],
+                    out_refs, k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
+                    ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip,
+                    noz=exit_noz)
                 continue
 
             if plane and li == 0:

@@ -271,7 +271,7 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt,
 
 
 def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
-                 ohh, ch, tile_w, skip=frozenset()):
+                 ohh, ch, tile_w, skip=frozenset(), noz=False):
     """Parity-domain all-phase exit (wino_mm last layer).
 
     ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
@@ -287,6 +287,42 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
     w2 = src.shape[1]
     m4 = 4 * n
     kf = fp * 4 * k
+    lane = None
+    if noz:
+        # ---- no-Z variant: dot straight into registers, combine via
+        # VALUE row/lane slices ---- each chunk dots (m_r + fp − 1)
+        # input rows once (fp−1-row overlap with the next chunk, ~6%
+        # recompute at ch=32) and the dy' phase combine slices the
+        # VALUE: rows dyp..dyp+m_r (sublane slice) at lanes
+        # dyp·4m..(dyp+1)·4m — no Z scratch, no 128-lane-padded Z
+        # store/read roundtrip, identical K-pass count. The sep-dots
+        # lesson ("accumulate in values, skip the scratch") applied to
+        # the exit.
+        for c0 in range(0, ohh, ch):
+            ce = min(c0 + ch, ohh)
+            m_r = ce - c0
+            rows = m_r + fp - 1
+            val = jnp.dot(
+                src[c0 : c0 + rows, 0:w2, 0:kf]
+                .reshape(rows * w2, kf),
+                w_ref[...],
+                preferred_element_type=jnp.float32,
+            ).reshape(rows, w2, fp * m4)
+            accz = val[0:m_r, :, 0:m4]
+            for dyp in range(1, fp):
+                accz = accz + val[dyp : dyp + m_r, :,
+                                  dyp * m4 : (dyp + 1) * m4]
+            if lane is None or lane.shape[0] != m_r:
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (m_r, w2, m4), 2)
+            for cc in range(n):
+                for pq in range(4):
+                    v = jnp.sum(
+                        jnp.where(lane == pq * n + cc, accz, 0.0),
+                        axis=-1) + b_ref[cc]
+                    out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
+                        v[:, 0 : tile_w // 2])
+        return
     for c0 in range(0, trh, ch):
         ce = min(c0 + ch, trh)
         if "last_dot" in skip:  # triage-only: input-dependent Z fill

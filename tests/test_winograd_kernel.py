@@ -308,3 +308,24 @@ def test_wino5_bf16_int8_track_default():
                                   input_int8=True, plane_input=True,
                                   wino=True, wino5=True))
     assert np.max(np.abs(y5 - base)) < 0.05, np.max(np.abs(y5 - base))
+
+
+def test_exit_noz_matches_default():
+    """The no-Z parity exit (dot into registers + value row/lane-slice
+    combine, ``wino_exit_noz``) is f32-exact against both the Z-based
+    exit and the XLA forward, on the f==5 and f==3 chains incl. odd
+    geometry."""
+    rng = np.random.default_rng(31)
+    for spec, ch in (([(9, 1, 32), (5, 32, 8), (5, 8, 1)], 1),
+                     ([(3, 2, 16), (3, 16, 128), (3, 128, 128),
+                       (3, 128, 2)], 2)):
+        p = _params(rng, spec)
+        x = jnp.asarray(
+            rng.standard_normal((1, 43, 141, ch)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        for noz in (False, True):
+            y = np.asarray(fused_forward(
+                p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                wino=True, wino5=True, wino_exit_noz=noz))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{spec} noz={noz}")
