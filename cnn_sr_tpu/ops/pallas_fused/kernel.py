@@ -20,9 +20,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import debug
 from .plane import plane_first_layer
+from .scratch import build_scratch_shapes
 from .rules import (_MM_CHUNK_ROWS, _plane_rows, _plane_win_hp,
-                    _sep_layers, _wino_layers, _wino_quad,
-                    _wino_tc, _wino_w_in)
+                    _sep_layers, _wino_layers, _wino_quad, _wino_tc)
 from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
 
 @functools.partial(
@@ -32,7 +32,7 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
                      "pipe_combine", "wino_on", "wino5_on",
-                     "exit_noz"),
+                     "exit_noz", "exit_raw"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -46,7 +46,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        pipe_combine: bool = True,
                        wino_on: bool = False,
                        wino5_on: bool = False,
-                       exit_noz: bool = False):
+                       exit_noz: bool = False,
+                       exit_raw: bool = False):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -283,10 +284,12 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         if n_layers <= 4 or (mm_last and li == n_layers - 1)
     ) if pipe_combine else frozenset()
 
+    n_ob = 1 if (wino_mm and exit_raw) else n_out
+
     def kernel(a_hbm, *refs):
         wrefs = refs[: 2 * n_layers]
-        out_refs = refs[2 * n_layers : 2 * n_layers + n_out]
-        scratch = refs[2 * n_layers + n_out :]
+        out_refs = refs[2 * n_layers : 2 * n_layers + n_ob]
+        scratch = refs[2 * n_layers + n_ob :]
         a_vmem, sem = scratch[0], scratch[1]
         act_refs = scratch[2 : 2 + (n_layers - 1)]
         n_pz = len(pz_idx)
@@ -410,7 +413,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     None if exit_noz else z_refs[pz_idx[li]],
                     out_refs, k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
                     ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip,
-                    noz=exit_noz)
+                    noz=exit_noz, raw=exit_raw)
                 continue
 
             if plane and li == 0:
@@ -692,95 +695,53 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
 
         jax.lax.fori_loop(0, tile_h // RB, last_rowblock, 0)
 
-    scratch_shapes = [
-        # double-buffered windows: raw (C, H, W) planes in plane mode
-        # (kilobytes), lane-padded patch windows otherwise
-        pltpu.VMEM((2, c_in, win_hp, win_wp) if plane
-                   else (2, win_h, win_w, c_pad), win_dt),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
-    for li in range(n_layers - 1):  # middle-layer activations
-        # (all slicing of act refs is static, so packed `dtype` storage is
-        # legal; the last layer's f32 input keeps VPU accumulation exact)
-        # the packed-dx producer widens its lane dim to P·n — VMEM-free,
-        # the ref's lane pad to 128 was already paid; a pre-packed
-        # producer stores the consumer's patches outright: f·n lanes at
-        # the consumer's output width
-        if li + 1 in wino:
-            # a wino layer's parity-plane input: (row parity, row/2,
-            # col/2 — sized for the producer store AND the 16-aligned
-            # tap over-read (_wino_w_in), col-parity lane groups of k);
-            # a k == 32 consumer packs ALL FOUR parities into the lanes
-            # of one rank-3 image instead (lane (2rp+cp)·k + c == 128)
-            shape = ((hs[li + 1] // 2, _wino_w_in(ws, li + 1),
-                      4 * ns[li])
-                     if _wino_quad(fs[li + 1], ks[li + 1]) else
-                     (2, hs[li + 1] // 2,
-                      _wino_w_in(ws, li + 1), 2 * ns[li]))
-        elif li in wino:
-            # wino output feeding the mm exit: dx'-packed parity image
-            # at half resolution (fp_ex copies of 4·n lanes)
-            shape = (hs[li + 1] // 2,
-                     -(-(ws[li + 2] // 2) // 8) * 8,
-                     fp_ex * 4 * ns[li])
-        elif li + 1 in prepack:
-            shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
-        else:
-            lanes = ns[li] * (pack_last if li == n_layers - 2 else 1)
-            shape = (hs[li + 1], ws[li + 1], lanes)
-        scratch_shapes.append(pltpu.VMEM(shape, act_dts[li]))
-    # Z / patch scratch, f>1 layers only: pipelined layers carry a
-    # full-height Z (oh+f−1 rows — lagged combine reads chunks behind
-    # the dot), rolling layers (ch+f−1) rows (see the chunk schedules)
-    for li in pz_idx:  # all-phase matmul outputs (Z), stream dtype
-        if wino_mm and li == n_layers - 1:
-            # parity-exit Z: half-res rows, f'=fp_ex phases of 4m lanes
-            scratch_shapes.append(pltpu.VMEM(
-                (hs[li] // 2, -(-(ws[li + 1] // 2) // 8) * 8,
-                 fp_ex * 4 * ns[li]), dtype))
-            continue
-        rows = (hs[li + 1] + fs[li] - 1 if li in pipe_z
-                else chunk_rows + fs[li] - 1)
-        scratch_shapes.append(
-            pltpu.VMEM((rows, ws[li + 1], fs[li] * ns[li]), dtype)
-        )
-    for li in pp_idx:  # patch chunk buffers (non-pre-packed consumers)
-        scratch_shapes.append(
-            pltpu.VMEM((chunk_rows, ws[li + 1], fs[li] * ks[li]), dtype)
-        )
-    for li in ps_idx:  # producer-side parity-split scratch (f32)
-        # always 128 lanes: Mosaic strided ops require the memref's
-        # last dim to be exactly 128 — k == 64 entries use the lower
-        # half and waste the (physically lane-padded anyway) upper half
-        scratch_shapes.append(
-            pltpu.VMEM((chunk_rows, ws[li], 128), jnp.float32)
-        )
+    scratch_shapes = build_scratch_shapes(
+        plane=plane, c_in=c_in,
+        win_hp=win_hp if plane else 0, win_wp=win_wp if plane else 0,
+        win_h=win_h, win_w=win_w, c_pad=c_pad, win_dt=win_dt,
+        n_layers=n_layers, fs=fs, ks=ks, ns=ns, hs=hs, ws=ws,
+        act_dts=act_dts, wino=wino, wino_mm=wino_mm, prepack=prepack,
+        pack_last=pack_last, fp_ex=fp_ex, pz_idx=pz_idx, pp_idx=pp_idx,
+        ps_idx=ps_idx, pipe_z=pipe_z, chunk_rows=chunk_rows,
+        dtype=dtype)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_layers),
-        out_specs=[
-            # wino_mm: outputs stay in the parity domain — (2, 2, H/2,
-            # W/2) planes per channel; one XLA transpose below
-            # recombines (stride-2 stores into a full-res 2D out ref
-            # have no Mosaic lowering at tile_w lanes)
-            pl.BlockSpec((2, 2, tile_h // 2, tile_w // 2),
-                         lambda i, j: (0, 0, i, j),
-                         memory_space=pltpu.VMEM)
-            if wino_mm else
-            pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-        ] * n_out,
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (2, 2, grid[0] * (tile_h // 2), grid[1] * (tile_w // 2)),
-                jnp.float32)
-            if wino_mm else
-            jax.ShapeDtypeStruct((grid[0] * tile_h, grid[1] * tile_w),
-                                 jnp.float32)
-        ] * n_out,
+        out_specs=(
+            # exit_raw: ONE half-res lane-packed output — the combined
+            # Z lanes (pq·m + cc at lane groups of 4m) stored densely;
+            # the per-channel/parity extraction happens in XLA below
+            # (a handful of 2-MB plane slices — bandwidth-trivial)
+            [pl.BlockSpec((tile_h // 2, tile_w // 2, 128),
+                          lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)]
+            if wino_mm and exit_raw else [
+                # wino_mm: outputs stay in the parity domain — (2, 2,
+                # H/2, W/2) planes per channel; one XLA transpose below
+                # recombines (stride-2 stores into a full-res 2D out
+                # ref have no Mosaic lowering at tile_w lanes)
+                pl.BlockSpec((2, 2, tile_h // 2, tile_w // 2),
+                             lambda i, j: (0, 0, i, j),
+                             memory_space=pltpu.VMEM)
+                if wino_mm else
+                pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+            ] * n_out),
+        out_shape=(
+            [jax.ShapeDtypeStruct(
+                (grid[0] * (tile_h // 2), grid[1] * (tile_w // 2), 128),
+                jnp.float32)]
+            if wino_mm and exit_raw else [
+                jax.ShapeDtypeStruct(
+                    (2, 2, grid[0] * (tile_h // 2),
+                     grid[1] * (tile_w // 2)), jnp.float32)
+                if wino_mm else
+                jax.ShapeDtypeStruct((grid[0] * tile_h, grid[1] * tile_w),
+                                     jnp.float32)
+            ] * n_out),
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             # v5e carries 128 MB VMEM/core; leave ~12 MB for XLA's own
@@ -790,7 +751,22 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         ),
         interpret=interpret,
     )(ap, *wbs)
-    if wino_mm:
+    if wino_mm and exit_raw:
+        # lane-packed raw exit output: o[I, J, (2p+q)·m + cc] — slice
+        # each channel's four parity planes from the lanes (2-MB copies)
+        # and recombine with the same one-axis-at-a-time trick
+        o = out[0]
+
+        def _recombine_raw(cc):
+            hh, wh = o.shape[0], o.shape[1]
+            zs = [jnp.stack([o[:, :, (2 * p_ + 0) * n_out + cc],
+                             o[:, :, (2 * p_ + 1) * n_out + cc]],
+                            axis=-1).reshape(hh, 2 * wh)
+                  for p_ in range(2)]
+            return jnp.stack(zs, axis=1).reshape(2 * hh, 2 * wh)
+
+        out = [_recombine_raw(cc) for cc in range(n_out)]
+    elif wino_mm:
         # parity recombine: y[2i+p, 2j+q] = o[p, q, i, j] — per parity
         # row p, stack the two col-parity planes on a NEW last axis and
         # reshape (hh, wh, 2) → (hh, 2wh), then stack rows on axis 1

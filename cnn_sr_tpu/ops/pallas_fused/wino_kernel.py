@@ -271,7 +271,8 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt,
 
 
 def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
-                 ohh, ch, tile_w, skip=frozenset(), noz=False):
+                 ohh, ch, tile_w, skip=frozenset(), noz=False,
+                 raw=False):
     """Parity-domain all-phase exit (wino_mm last layer).
 
     ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
@@ -346,6 +347,17 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
             accz = accz + z_ref[
                 c0 + dyp : ce + dyp, :, dyp * m4 : (dyp + 1) * m4
             ].astype(jnp.float32)
+        if raw:
+            # lane-packed raw store: the combined Z lanes (pq·m + cc)
+            # land densely in ONE half-res out ref (bias tiled over the
+            # 4 parity lane groups, added once — post dy' combine); the
+            # per-(channel, parity) extraction moves to XLA, where a
+            # plane slice is a 2-MB copy instead of 4·m full-width
+            # masked lane reductions per chunk on the VPU
+            bt = jnp.tile(b_ref[...], 4)
+            out_refs[0][c0:ce, :, 0:m4] = (
+                accz[:, 0 : tile_w // 2] + bt)
+            continue
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (m_r, w2, m4), 2)
         for cc in range(n):

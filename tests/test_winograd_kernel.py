@@ -329,3 +329,22 @@ def test_exit_noz_matches_default():
                 wino=True, wino5=True, wino_exit_noz=noz))
             np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
                                        err_msg=f"{spec} noz={noz}")
+
+
+def test_exit_raw_matches_default():
+    """The raw-lane parity exit (``wino_exit_raw``: one lane-packed
+    half-res out ref + XLA-side channel/parity extraction) is f32-exact
+    against the default exit on both chains incl. odd geometry."""
+    rng = np.random.default_rng(33)
+    for spec, ch in (([(9, 1, 32), (5, 32, 8), (5, 8, 1)], 1),
+                     ([(3, 2, 16), (3, 16, 128), (3, 128, 128),
+                       (3, 128, 2)], 2)):
+        p = _params(rng, spec)
+        x = jnp.asarray(
+            rng.standard_normal((1, 43, 141, ch)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        y = np.asarray(fused_forward(
+            p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+            wino=True, wino5=True, wino_exit_raw=True))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"{spec}")
