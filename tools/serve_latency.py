@@ -41,9 +41,15 @@ from PIL import Image  # noqa: E402
 
 
 def _png_bytes(rng, h, w):
-    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    """Representative synthetic content (gradients/shapes/texture), not
+    noise — noise is PNG's worst case (6.2 MB / 336 ms encode at 1080p
+    vs ~32 ms for image-like content) and would overstate the host
+    codec share of the latency."""
+    from tools.generate_training_samples import synth_image
+
+    im = synth_image(rng, size=max(h, w)).crop((0, 0, w, h))
     buf = io.BytesIO()
-    Image.fromarray(arr, "RGB").save(buf, "PNG")
+    im.save(buf, "PNG")
     return buf.getvalue()
 
 
