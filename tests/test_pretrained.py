@@ -28,7 +28,7 @@ def test_pretrained_checkpoint_loads():
     assert cfg.zero_mean_target and not cfg.last_layer_relu_gate
     assert os.path.samefile(cfg.parameters_file, CKPT)
     params, epochs = load_parameters_file(CKPT, cfg.layer_specs())
-    assert epochs == 24000
+    assert epochs == 32000  # 5-phase round-4 recipe (12k+8k+4k+4k+4k)
     shapes = [p["w"].shape for p in params]
     assert shapes == [(9, 9, 1, 64), (5, 5, 64, 32), (5, 5, 32, 1)]
     for p in params:
