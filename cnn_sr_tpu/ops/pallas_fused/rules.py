@@ -90,9 +90,11 @@ def _wino_quad(f, k):
     rank-3 QUAD image (H/2, W, 4k lanes — all four parities in lane
     groups), False = rank-4 j-paired parity planes (2, H/2, W, 2k).
     Every f == 5 layer is quad (its 3×3 half-res tap sweep wants all
-    four parities per read; 4k ≤ 256 = 2 K-tiles at the eligible k);
+    four parities per read; 4k ≤ 256 = 2 K-tiles at the eligible k),
+    as is every f == 1 layer (a 1×1 conv commutes with parity packing
+    — one block-diagonal (4k, 4n) dot computes all four parities);
     at f == 3 only k == 32 packs into one 128-lane group."""
-    return f == 5 or k == 32
+    return f in (1, 5) or k == 32
 
 
 def _wino_layers(dims, n_layers, mm_last, min_li=1, f5=False):
@@ -144,7 +146,12 @@ def _wino_layers(dims, n_layers, mm_last, min_li=1, f5=False):
         cons_ok = (li + 1 in elig) or (li + 2 == n_layers and last_ok)
         ok3 = fs[li] == 3 and ks[li] in (32, 64, 128)
         ok5 = f5 and fs[li] == 5 and ks[li] in (32, 64)
-        if (ok3 or ok5) and cons_ok:
+        # f == 1 (the 9-1-5 middle): a 1×1 conv in the parity domain
+        # is ONE block-diagonal quad dot — it joins so the chain can
+        # reach the half-res exit (gated with f5: same umbrella)
+        ok1 = (f5 and fs[li] == 1 and ks[li] in (32, 64)
+               and 4 * ns[li] <= 128)
+        if (ok3 or ok5 or ok1) and cons_ok:
             elig.add(li)
     return frozenset(elig)
 

@@ -40,9 +40,10 @@ def _wino_weights(w, dtype):
     paired positions instead and its f32 roll+select V mixing measured
     +2 ms/frame on chip (2026-08-21) — folding beats mixing."""
     f, _, k, n = w.shape
-    if f == 5 or k == 32:
+    if f in (1, 5) or k == 32:
         # QUAD direct layout (T²·4k, 4n), T = ⌈f/2⌉ slab-grid side
-        # (T=2/4 slabs at f==3, T=3/9 slabs at f==5): slab ro·T + co,
+        # (T=1/1 slab at f==1 — the block-diagonal 1×1 case —
+        # T=2/4 slabs at f==3, T=3/9 slabs at f==5): slab ro·T + co,
         # row (2rp + cp)·k + c ↦ tap (i, j) = (2ro+rp, 2co+cp), col
         # (2p + q)·n + nn = w[i−p, j−q, c, nn] (zero outside the f×f
         # footprint). No Winograd transform — folding BOTH transforms

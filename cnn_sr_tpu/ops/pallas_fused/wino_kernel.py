@@ -86,7 +86,7 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
                     (pq % 2) * n : (pq % 2 + 1) * n,
                 ] = val[:, 0:wt]
 
-    if f == 5 or k == 32:
+    if f in (1, 5) or k == 32:
         # ---- QUAD direct parity all-phase (f==3/k==32 and every
         # f==5 layer) ----
         # src is the rank-3 quad image (H/2, W_in, 4k): one 4k-lane

@@ -348,3 +348,33 @@ def test_exit_raw_matches_default():
             wino=True, wino5=True, wino_exit_raw=True))
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
                                    err_msg=f"{spec}")
+
+
+def test_wino1_915_chain():
+    """The f==1 parity extension: a 1×1 middle (9-1-5's conv2) joins
+    the chain as ONE block-diagonal quad dot, so the f==5 last layer
+    exits at half resolution. f32-exact vs the XLA forward for both
+    first-layer forms and both production k regimes; off without
+    wino5."""
+    rng = np.random.default_rng(41)
+    for n1, n2 in ((64, 32), (32, 16)):
+        p = _params(rng, [(9, 1, n1), (1, n1, n2), (5, n2, 1)])
+        x = jnp.asarray(
+            rng.standard_normal((1, 44, 150, 1)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        for kw in ({"plane_input": False},
+                   {"plane_input": True, "l1_rows": 8}):
+            for wino5 in (False, True):
+                y = np.asarray(fused_forward(
+                    p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                    wino=True, wino5=wino5, **kw))
+                np.testing.assert_allclose(
+                    y, y_ref, rtol=1e-4, atol=1e-4,
+                    err_msg=f"n1={n1} {kw} wino5={wino5}")
+    # eligibility: the f==1 middle requires the f5 umbrella + 4n <= 128
+    from cnn_sr_tpu.ops.pallas_fused import _wino_layers
+    d = ((1, 81, 64), (1, 64, 32), (5, 32, 1))
+    assert _wino_layers(d, 3, mm_last=False, f5=True) == frozenset({1})
+    assert _wino_layers(d, 3, mm_last=False) == frozenset()
+    wide = ((1, 81, 64), (1, 64, 64), (5, 64, 1))
+    assert _wino_layers(wide, 3, mm_last=False, f5=True) == frozenset()
