@@ -80,6 +80,11 @@ def main(argv=None) -> int:
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--n-per-client", type=int, default=12)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--bucket", type=int, default=0,
+                   help="pad batch groups to this size (kills the "
+                        "compile-per-group-size latency tail under "
+                        "concurrency: each distinct batch size "
+                        "otherwise pays one ~10-60 s kernel compile)")
     args = p.parse_args(argv)
 
     from tools.serve import load_slot, make_server
@@ -92,7 +97,8 @@ def main(argv=None) -> int:
             os.path.join(root, "configs", "waifu2x_7layer_rgb.json"),
             seed=0),
     }
-    server, worker = make_server(slots, use_pallas=not args.no_pallas)
+    server, worker = make_server(slots, use_pallas=not args.no_pallas,
+                             bucket=args.bucket)
     worker.start()
     st = threading.Thread(target=server.serve_forever, daemon=True)
     st.start()
@@ -140,7 +146,9 @@ def main(argv=None) -> int:
             wall = time.perf_counter() - t0
             n_req = args.clients * args.n_per_client
             row = {"metric": f"serving_latency_{name}_concurrent"
-                             f"{args.clients}",
+                             f"{args.clients}"
+                             + (f"_bucket{args.bucket}" if args.bucket
+                                else ""),
                    **_percentiles(all_ts),
                    "req_per_s": round(n_req / wall, 1),
                    "note": f"{args.clients} clients back-to-back; "
