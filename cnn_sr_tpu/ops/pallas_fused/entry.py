@@ -88,9 +88,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     ``_wino_layers``) through Winograd F(2x2,3x3) in the parity domain:
     2.25x fewer MACs at full MXU K-fill, parity-split producer stores,
     and a half-res parity all-phase last layer whose out planes one XLA
-    transpose recombines. None = auto = off pending on-chip A/B
-    (the dypack/xpack discipline; probe: −55%/chunk at (128,128),
-    tools/winograd_probe.py).
+    transpose recombines. None = auto = ON for compiled TPU runs
+    (measured interleaved wins — docs/BENCHMARKS.md); interpret mode
+    resolves to off. ``wino5`` extends the chain to f ∈ {1, 5} layers
+    (also auto-ON on TPU); ``wino_exit_noz``/``wino_exit_raw`` are
+    measured-loss exit variants kept correctness-pinned (ship off).
     """
     from ...models import forward as _xla_forward
 

@@ -277,10 +277,12 @@ def test_wino5_kernel_odd_geometry():
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
 
 
-def test_wino5_off_by_default():
-    """``wino5`` defaults OFF (pending the on-chip interleaved A/B —
-    the dypack/xpack discipline): wino=True alone must leave an f==5
-    model on the packed-dx path with identical output."""
+def test_wino5_interpret_default_keeps_packed_dx():
+    """In interpret mode (these tests' backend), ``wino5=None``
+    resolves OFF — the f==5 model stays on the packed-dx path with
+    identical output. (On compiled TPU the auto default is ON after
+    the measured interleaved win; the production default's parity is
+    gated on-chip by bench.py and the wino_ab sweep, not here.)"""
     rng = np.random.default_rng(25)
     p = _params(rng, [(9, 1, 32), (5, 32, 8), (5, 8, 1)])
     x = jnp.asarray(

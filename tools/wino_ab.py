@@ -48,7 +48,11 @@ def main(argv=None) -> int:
     p.add_argument("--sweep-seed", type=int, default=None,
                    help="sweep RNG seed (default: derived from date so "
                         "repeat runs in one day reuse the compile cache)")
-    p.add_argument("--sweep-tol", type=float, default=1e-6)
+    p.add_argument("--sweep-tol", type=float, default=None,
+                   help="max allowed |diff| (default per config: rgb "
+                        "1e-6 — measured envelope 1.7e-8; flagship "
+                        "1e-5 — the wino5 bf16-exit path's measured "
+                        "envelope is ~3e-6)")
     args = p.parse_args(argv)
 
     import json
@@ -69,15 +73,10 @@ def main(argv=None) -> int:
             cfg = parse_config(json.load(fh))
         channels = 3
         ab = (("sep", dict(wino=False)), ("wino", dict(wino=True)))
-    else:  # flagship 9-5-5 (n1=64, n2=32) luma
-        raw = {"n1": 64, "n2": 32, "f1": 9, "f2": 5, "f3": 5,
-               "momentum": 0.9, "weight_decay_parameter": 1e-4,
-               "learning_rates": [1e-4, 1e-4, 1e-5]}
-        for i in (1, 2, 3):
-            raw[f"parameters_distribution_{i}"] = {
-                "mean_w": 0.0, "mean_b": 0.0,
-                "std_deviation_w": 0.005, "std_deviation_b": 0.0}
-        cfg = parse_config(raw)
+    else:  # flagship 9-5-5 (n1=64, n2=32) luma — the driver's config
+        from __graft_entry__ import _flagship
+
+        cfg = _flagship()
         channels = 1
         # wino5=False must be EXPLICIT: since the 2026-08-21 default
         # flip it auto-resolves ON for compiled TPU runs, and an
@@ -85,6 +84,8 @@ def main(argv=None) -> int:
         # when the first sweep read bit-exact 0.0 everywhere)
         ab = (("base", dict(wino=True, wino5=False)),
               ("wino5", dict(wino=True, wino5=True)))
+    if args.sweep_tol is None:
+        args.sweep_tol = 1e-6 if args.config == "rgb" else 1e-5
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
@@ -130,8 +131,11 @@ def main(argv=None) -> int:
         shapes = []
         for i in range(args.sweep):
             if i % 3 == 2:  # every third: near the receptive field
-                h = shrink + int(srng.integers(2, 24))
-                w = shrink + int(srng.integers(2, 24))
+                # offsets start at 9: fused_forward falls back to the
+                # XLA path at dims <= shrink + 8 (entry.py size guard),
+                # and a fallback-vs-fallback row validates nothing
+                h = shrink + int(srng.integers(9, 32))
+                w = shrink + int(srng.integers(9, 32))
             else:
                 h = int(srng.integers(96, 600))
                 w = int(srng.integers(96, 1024))
