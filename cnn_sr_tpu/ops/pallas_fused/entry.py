@@ -41,7 +41,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   wino: bool | None = None,
                   wino5: bool | None = None,
                   wino_exit_noz: bool = False,
-                  wino_exit_raw: bool = False):
+                  wino_exit_raw: bool = False,
+                  wino_trg: int = 0):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -322,7 +323,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            mm_last=mm_last, sep_max_n=sep_max_n,
                            pipe_combine=pipe_combine, wino_on=wino,
                            wino5_on=wino5, exit_noz=wino_exit_noz,
-                           exit_raw=wino_exit_raw)
+                           exit_raw=wino_exit_raw, wino_trg=wino_trg)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

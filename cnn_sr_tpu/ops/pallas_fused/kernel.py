@@ -32,7 +32,7 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
                      "pipe_combine", "wino_on", "wino5_on",
-                     "exit_noz", "exit_raw"),
+                     "exit_noz", "exit_raw", "wino_trg"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -47,7 +47,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        wino_on: bool = False,
                        wino5_on: bool = False,
                        exit_noz: bool = False,
-                       exit_raw: bool = False):
+                       exit_raw: bool = False,
+                       wino_trg: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -400,7 +401,9 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     last_cons=last_cons, exit_fp=fp_ex,
                     cons_quad=(not last_cons)
                     and _wino_quad(fs[li + 1], ks[li + 1]),
-                    act_dt=act_dt, dtype=dtype)
+                    act_dt=act_dt, dtype=dtype,
+                    trg=(wino_trg if wino_trg > 0
+                         and _wino_quad(f, k) else 6))
                 continue
 
             if wino_mm and li == n_layers - 1:

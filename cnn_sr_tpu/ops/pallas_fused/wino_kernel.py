@@ -23,7 +23,8 @@ from .rules import _WINO_AT, _WINO_BT, _WINO_TRG
 
 
 def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
-               last_cons, cons_quad, exit_fp, act_dt, dtype):
+               last_cons, cons_quad, exit_fp, act_dt, dtype,
+               trg=_WINO_TRG):
     """One parity-domain middle layer (Winograd family at f==3, direct
     QUAD dots at f==5).
 
@@ -99,8 +100,8 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
         # the all-phase form's 24 (−25%).
         t_g = (f + 1) // 2
         k4 = 4 * k
-        for t0 in range(0, tr_l, _WINO_TRG):
-            rows = min(_WINO_TRG, tr_l - t0)
+        for t0 in range(0, tr_l, trg):
+            rows = min(trg, tr_l - t0)
             mrow = rows * tc_l
             s_all = None
             for ro in range(t_g):
