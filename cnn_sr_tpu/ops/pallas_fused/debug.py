@@ -20,7 +20,9 @@ from __future__ import annotations
 # (prepack) stores with a one-element max-store; "mid_dot" skips the
 # all-phase matmul (note: gated with `not in`, the dot is the default);
 # "mid_combine" skips phase combine AND output store; "mid_store" keeps
-# the combine but replaces the store with a one-element max-store.
+# the combine but replaces the store with a one-element max-store;
+# "last_extract" (parity exit only) keeps the dy' Z accumulation but
+# skips the per-(channel, parity) extraction + out stores.
 # Per-layer keys "L{li}" (li = 0-based index into the KERNEL's layer
 # list, i.e. dims) skip exactly that layer — note skipping a pre-packed
 # consumer's producer also skips the consumer's patch stores (they live

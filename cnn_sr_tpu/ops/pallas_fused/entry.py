@@ -42,6 +42,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   wino5: bool | None = None,
                   wino_exit_noz: bool = False,
                   wino_exit_raw: bool = False,
+                  wino_exit_xt: int = -1,
                   wino_trg: int = 0):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
@@ -94,6 +95,10 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     resolves to off. ``wino5`` extends the chain to f ∈ {1, 5} layers
     (also auto-ON on TPU); ``wino_exit_noz``/``wino_exit_raw`` are
     measured-loss exit variants kept correctness-pinned (ship off).
+    ``wino_exit_xt`` replaces the exit combine's per-(channel, parity)
+    masked lane extraction with an MXU transpose-extract (1 = HIGHEST
+    f32 selection dot, 2 = Mosaic swapaxes, 3 = hi/lo bf16 split dots
+    — see ``wino_kernel._xt_extract``; −1 = auto).
     """
     from ...models import forward as _xla_forward
 
@@ -190,6 +195,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     if wino5 is None:
         wino5 = not interpret
     wino5 = bool(wino5) and wino
+    # exit transpose-extract (see _xt_extract): −1 = auto = the HIGHEST
+    # selection dot (xt=1, f32-exact) for compiled TPU runs after the
+    # measured interleaved wins (4/4 rounds each, tools/variants_probe
+    # 2026-08-21): flagship 6.29-6.66 → 5.65-5.75 ms and RGB 13.48-13.52
+    # → 12.17-12.30 ms full-pipeline — the stage budget had pinned the
+    # VPU extraction at ~1.0 of the flagship's 4.6 ms kernel marginal
+    # (tools/flagship_stages.py last_extr). Interpret keeps the
+    # masked-reduction form (the oracle formulation the tests pin).
+    if wino_exit_xt < 0:
+        wino_exit_xt = 0 if interpret else 1
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
     sep_prep_fold = frozenset(li - 1 for li in sep_fold)
@@ -323,7 +338,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            mm_last=mm_last, sep_max_n=sep_max_n,
                            pipe_combine=pipe_combine, wino_on=wino,
                            wino5_on=wino5, exit_noz=wino_exit_noz,
-                           exit_raw=wino_exit_raw, wino_trg=wino_trg)
+                           exit_raw=wino_exit_raw,
+                           exit_xt=wino_exit_xt, wino_trg=wino_trg)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -32,7 +32,7 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
                      "pipe_combine", "wino_on", "wino5_on",
-                     "exit_noz", "exit_raw", "wino_trg"),
+                     "exit_noz", "exit_raw", "exit_xt", "wino_trg"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -48,6 +48,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        wino5_on: bool = False,
                        exit_noz: bool = False,
                        exit_raw: bool = False,
+                       exit_xt: int = 0,
                        wino_trg: int = 0):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
@@ -416,7 +417,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     None if exit_noz else z_refs[pz_idx[li]],
                     out_refs, k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
                     ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip,
-                    noz=exit_noz, raw=exit_raw)
+                    noz=exit_noz, raw=exit_raw, xt=exit_xt)
                 continue
 
             if plane and li == 0:

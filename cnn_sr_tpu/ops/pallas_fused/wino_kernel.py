@@ -271,9 +271,49 @@ def parity_entry_store(act_ref, s_ref, v, *, n, r0, m, w_half, act_dt,
             ] = s_ref[p_r : m : 2, q_c :: 2].astype(act_dt)
 
 
+def _xt_extract(accb, tw2, xt):
+    """MXU transpose-extract for the exit combine (``xt`` modes).
+
+    The per-(channel, parity) masked lane reductions are a lane→dense-2D
+    relayout the VPU pays per element (measured 1.0 of the flagship's
+    4.6 ms — tools/flagship_stages.py last_extr, 2026-08-21). Instead,
+    ONE dot contracts the w2 SUBLANE dim against an identity selection
+    (w2, tw2): out (m, m4, tw2) carries the parity/channel lanes in
+    SUBLANES and the output columns in LANES, so every out-plane store
+    becomes a plain sublane slice. The selection has exactly one
+    nonzero per output column, so the contraction sums a single term:
+
+    * xt=1: f32 dot at Precision.HIGHEST (exact; Mosaic multi-pass),
+    * xt=2: ``jnp.swapaxes`` (Mosaic's own relayout, for A/B),
+    * xt=3: hi/lo bf16 split — two bf16 selection dots reconstruct the
+      f32 value to ~2⁻¹⁶ relative (hi carries the top 8 mantissa bits
+      exactly through the one-term contraction, lo the next 8).
+    """
+    m_r, w2, m4 = accb.shape
+    if xt == 2:
+        return jnp.swapaxes(accb, 1, 2)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (w2, tw2), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w2, tw2), 1)
+    dn = (((1,), (0,)), ((), ()))
+    if xt == 3:
+        eyew = (ri == ci).astype(jnp.bfloat16)
+        hi = accb.astype(jnp.bfloat16)
+        lo = (accb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jax.lax.dot_general(
+                    hi, eyew, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    lo, eyew, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32))
+    return jax.lax.dot_general(
+        accb, (ri == ci).astype(jnp.float32), dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
                  ohh, ch, tile_w, skip=frozenset(), noz=False,
-                 raw=False):
+                 raw=False, xt=0):
     """Parity-domain all-phase exit (wino_mm last layer).
 
     ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
@@ -348,6 +388,23 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
             accz = accz + z_ref[
                 c0 + dyp : ce + dyp, :, dyp * m4 : (dyp + 1) * m4
             ].astype(jnp.float32)
+        if "last_extract" in skip:  # triage-only: keep the dy' Z
+            # accumulation, skip the per-(channel, parity) masked
+            # extraction + out stores (accz kept alive via a max-store)
+            out_refs[0][0, 0, c0:ce, :] = jnp.broadcast_to(
+                jnp.max(accz).reshape(1, 1), (m_r, out_refs[0].shape[3]))
+            continue
+        if xt:
+            # ---- MXU transpose-extract (see _xt_extract): bias is
+            # still added ONCE post-combine, broadcast over the 4
+            # parity lane groups; every store is a sublane slice ----
+            accb = accz + jnp.tile(b_ref[...], 4)
+            t = _xt_extract(accb, tile_w // 2, xt)
+            for cc in range(n):
+                for pq in range(4):
+                    out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
+                        t[:, pq * n + cc, 0 : tile_w // 2])
+            continue
         if raw:
             # lane-packed raw store: the combined Z lanes (pq·m + cc)
             # land densely in ONE half-res out ref (bias tiled over the

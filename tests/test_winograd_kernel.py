@@ -351,6 +351,29 @@ def test_exit_raw_matches_default():
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
                                    err_msg=f"{spec}")
 
+def test_exit_xt_matches_default():
+    """The MXU transpose-extract exit combine (``wino_exit_xt``) matches
+    the default masked-reduction exit on the f==5 and f==3 chains incl.
+    odd geometry: xt=1 (HIGHEST selection dot) and xt=2 (swapaxes) are
+    f32-exact; xt=3 (hi/lo bf16 split dots) reconstructs to ~2^-16
+    relative."""
+    rng = np.random.default_rng(37)
+    for spec, ch in (([(9, 1, 32), (5, 32, 8), (5, 8, 1)], 1),
+                     ([(3, 2, 16), (3, 16, 128), (3, 128, 128),
+                       (3, 128, 2)], 2)):
+        p = _params(rng, spec)
+        x = jnp.asarray(
+            rng.standard_normal((1, 43, 141, ch)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        for xt in (1, 2, 3):
+            y = np.asarray(fused_forward(
+                p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                wino=True, wino5=True, wino_exit_xt=xt))
+            tol = 1e-4 if xt != 3 else 3e-4
+            np.testing.assert_allclose(y, y_ref, rtol=tol, atol=tol,
+                                       err_msg=f"{spec} xt={xt}")
+
+
 
 def test_wino1_915_chain():
     """The f==1 parity extension: a 1×1 middle (9-1-5's conv2) joins
