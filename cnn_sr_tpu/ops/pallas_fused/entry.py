@@ -205,6 +205,11 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # masked-reduction form (the oracle formulation the tests pin).
     if wino_exit_xt < 0:
         wino_exit_xt = 0 if interpret else 1
+    if wino_exit_raw or wino_exit_noz:
+        # the raw/noz A/B exits keep their own store layouts (raw: one
+        # 3D lane-packed out ref) that the xt path's 4-index parity
+        # stores would corrupt — the variant knobs win over the auto xt
+        wino_exit_xt = 0
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
     sep_prep_fold = frozenset(li - 1 for li in sep_fold)

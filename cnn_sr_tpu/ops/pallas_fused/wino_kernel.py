@@ -394,6 +394,19 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
             out_refs[0][0, 0, c0:ce, :] = jnp.broadcast_to(
                 jnp.max(accz).reshape(1, 1), (m_r, out_refs[0].shape[3]))
             continue
+        if raw:  # checked before xt: raw's single 3D lane-packed out
+            # ref is incompatible with the xt path's 4-index parity
+            # stores (entry.py also forces xt=0 whenever raw/noz is set)
+            # lane-packed raw store: the combined Z lanes (pq·m + cc)
+            # land densely in ONE half-res out ref (bias tiled over the
+            # 4 parity lane groups, added once — post dy' combine); the
+            # per-(channel, parity) extraction moves to XLA, where a
+            # plane slice is a 2-MB copy instead of 4·m full-width
+            # masked lane reductions per chunk on the VPU
+            bt = jnp.tile(b_ref[...], 4)
+            out_refs[0][c0:ce, :, 0:m4] = (
+                accz[:, 0 : tile_w // 2] + bt)
+            continue
         if xt:
             # ---- MXU transpose-extract (see _xt_extract): bias is
             # still added ONCE post-combine, broadcast over the 4
@@ -404,17 +417,6 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
                 for pq in range(4):
                     out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
                         t[:, pq * n + cc, 0 : tile_w // 2])
-            continue
-        if raw:
-            # lane-packed raw store: the combined Z lanes (pq·m + cc)
-            # land densely in ONE half-res out ref (bias tiled over the
-            # 4 parity lane groups, added once — post dy' combine); the
-            # per-(channel, parity) extraction moves to XLA, where a
-            # plane slice is a 2-MB copy instead of 4·m full-width
-            # masked lane reductions per chunk on the VPU
-            bt = jnp.tile(b_ref[...], 4)
-            out_refs[0][c0:ce, :, 0:m4] = (
-                accz[:, 0 : tile_w // 2] + bt)
             continue
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (m_r, w2, m4), 2)

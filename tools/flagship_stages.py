@@ -46,13 +46,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--rounds", type=int, default=3)
-    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--iters", type=int, default=12,
+                   help="long scan length (short = iters//3; min 2 — "
+                        "the marginal needs two distinct lengths)")
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--no-int8", action="store_true")
     p.add_argument("--only", type=str, default="",
                    help="comma-separated variant subset (always incl. full)")
     args = p.parse_args(argv)
+    if args.iters < 2:
+        p.error("--iters must be >= 2 (the marginal divides by "
+                "long - short)")
 
     import jax
     import jax.numpy as jnp
