@@ -15,9 +15,17 @@ reference is batch-CLI only, Main_cl.cpp):
   batched device program (``api.upscale_batch`` — numerically identical
   to the single-image path), and runs the rest as singles with
   ``--bucket`` shape-bucketed compile reuse.
+* **latency SLO policy** (``--deadline S``): admission control sheds
+  load with **503 + Retry-After** when the EWMA-estimated queue wait
+  exceeds the deadline; jobs whose queue wait crosses the deadline are
+  503'd at dequeue instead of dispatched; ``--max-queue N`` bounds
+  queue depth (**429** beyond it). During a backend stall (the axon
+  tunnel's documented degradation windows) clients get fast, honest
+  rejections instead of minute-long blocking waits.
 * **observability**: ``GET /models`` (slots + per-slot request counts),
-  ``GET /stats`` (queue depth, batch histogram, error counts),
-  ``GET /healthz``.
+  ``GET /stats`` (queue depth, batch histogram, error counts, EWMA
+  service time, current wait estimate, and a ``stalled`` flag — the
+  in-flight dispatch has run far past its EWMA), ``GET /healthz``.
 
     python tools/serve.py -c cfg.json [--model anime=waifu.json ...]
         [--port 8200] [--pallas] [--scale 2] [--max-batch 8]
@@ -52,11 +60,26 @@ if _platform:
     jax.config.update("jax_platforms", _platform)
 
 
+class DeadlineExceeded(Exception):
+    """A request spent longer than the latency deadline in the queue
+    (failed BEFORE dispatch — the device never ran it). Maps to 503."""
+
+
+class Rejected(Exception):
+    """Admission-control rejection (queue full / expected wait exceeds
+    the deadline). Carries the HTTP code and a Retry-After hint."""
+
+    def __init__(self, code: int, message: str, retry_after_s: float):
+        super().__init__(message)
+        self.code = code
+        self.retry_after_s = retry_after_s
+
+
 class _Job:
     """One enqueued upscale request; the handler thread blocks on
     ``done`` until the device worker fills ``result`` or ``error``."""
 
-    __slots__ = ("model", "rgba", "done", "result", "error")
+    __slots__ = ("model", "rgba", "done", "result", "error", "t_submit")
 
     def __init__(self, model: str, rgba: np.ndarray):
         self.model = model
@@ -64,6 +87,7 @@ class _Job:
         self.done = threading.Event()
         self.result = None
         self.error = None
+        self.t_submit = time.monotonic()
 
 
 class DeviceWorker(threading.Thread):
@@ -81,7 +105,9 @@ class DeviceWorker(threading.Thread):
                  job_timeout_s: float = 600.0,
                  pallas_precision: str = "bf16",
                  spatial_shard: int = 0,
-                 max_body_bytes: int = 64 * 1024 * 1024):
+                 max_body_bytes: int = 64 * 1024 * 1024,
+                 deadline_s: float = 0.0,
+                 max_queue: int = 0):
         super().__init__(daemon=True, name="device-worker")
         self.slots = slots
         self.use_pallas = use_pallas
@@ -97,16 +123,46 @@ class DeviceWorker(threading.Thread):
         # generous default: first-touch Pallas compiles can take minutes
         # on a remote-compile backend (docs/BENCHMARKS.md)
         self.job_timeout_s = job_timeout_s
+        # ---- latency SLO policy (VERDICT r4 #5) ----
+        # deadline_s > 0: admission control sheds load with 503 +
+        # Retry-After when the EWMA-estimated queue wait already
+        # exceeds the deadline, and the worker fails (503) any job
+        # whose queue wait crossed the deadline BEFORE dispatching it
+        # — so a tunnel stall turns into fast, honest rejections
+        # instead of every queued client blocking for minutes.
+        # max_queue > 0 bounds queue depth (429 beyond it).
+        self.deadline_s = max(0.0, deadline_s)
+        self.max_queue = max(0, max_queue)
+        self._ewma_job_s: float | None = None  # None until first round
+        self._dispatch_started: float | None = None
         self.queue: "queue.Queue[_Job | None]" = queue.Queue()
         self._stopping = False
         self.lock = threading.Lock()
         self.stats = {
             "requests": 0, "ok": 0, "errors": 0,
             "rounds": 0, "batched_jobs": 0, "max_batch_seen": 0,
+            "rejected_queue_full": 0, "rejected_load": 0,
+            "rejected_deadline": 0,
             "per_model": {name: 0 for name in slots},
         }
 
+    def _est_wait_s(self) -> float:
+        """Expected queue wait for a new arrival: per-job EWMA service
+        time × jobs ahead, plus the in-flight dispatch's remaining time
+        (conservatively its full EWMA when one is running). 0.0 until
+        the first round completes (cold compiles must not shed)."""
+        ewma = self._ewma_job_s
+        if ewma is None:
+            return 0.0
+        est = self.queue.qsize() * ewma
+        started = self._dispatch_started
+        if started is not None:
+            # in-flight dispatch: at least what's elapsed, assume ~ewma
+            est += max(ewma, time.monotonic() - started)
+        return est
+
     def submit(self, job: _Job) -> None:
+        """Enqueue, or raise ``Rejected`` (admission control)."""
         if self._stopping:
             job.error = RuntimeError("server shutting down")
             job.done.set()
@@ -115,6 +171,20 @@ class DeviceWorker(threading.Thread):
             self.stats["requests"] += 1
             if job.model in self.stats["per_model"]:
                 self.stats["per_model"][job.model] += 1
+            if self.max_queue and self.queue.qsize() >= self.max_queue:
+                self.stats["rejected_queue_full"] += 1
+                raise Rejected(
+                    429, f"queue full ({self.max_queue} jobs)",
+                    self._est_wait_s() or 1.0)
+            if self.deadline_s:
+                est = self._est_wait_s()
+                if est > self.deadline_s:
+                    self.stats["rejected_load"] += 1
+                    raise Rejected(
+                        503,
+                        f"expected queue wait {est:.1f}s exceeds the "
+                        f"{self.deadline_s:.1f}s deadline",
+                        est - self.deadline_s)
         self.queue.put(job)
 
     def stop(self) -> None:
@@ -138,6 +208,21 @@ class DeviceWorker(threading.Thread):
             s = {**self.stats, "per_model": dict(self.stats["per_model"])}
         s["queue_depth"] = self.queue.qsize()
         s["models"] = sorted(self.slots)
+        # SLO observability: EWMA service time, the wait estimate the
+        # admission control would use right now, and a stall flag — the
+        # in-flight dispatch has run far past its EWMA (the tunnel's
+        # documented degradation windows look exactly like this)
+        ewma = self._ewma_job_s
+        s["ewma_job_s"] = round(ewma, 4) if ewma is not None else None
+        s["est_wait_s"] = round(self._est_wait_s(), 3)
+        started = self._dispatch_started
+        elapsed = (time.monotonic() - started) if started is not None else 0.0
+        s["dispatch_elapsed_s"] = round(elapsed, 3)
+        s["stalled"] = bool(
+            started is not None
+            and elapsed > max(10.0, 5 * (ewma or 0.0) * self.max_batch))
+        s["deadline_s"] = self.deadline_s or None
+        s["max_queue"] = self.max_queue or None
         return s
 
     # ---- worker internals ----
@@ -162,11 +247,38 @@ class DeviceWorker(threading.Thread):
                     break
                 batch.append(nxt)
 
+            if self.deadline_s:
+                # shed-at-dequeue: a job whose queue wait already blew
+                # the deadline gets a fast 503 instead of a dispatch
+                # whose result the client has given up on
+                now = time.monotonic()
+                live = []
+                for j in batch:
+                    if now - j.t_submit > self.deadline_s:
+                        j.error = DeadlineExceeded(
+                            f"spent {now - j.t_submit:.1f}s queued "
+                            f"(> {self.deadline_s:.1f}s deadline)")
+                        j.done.set()
+                        with self.lock:
+                            self.stats["rejected_deadline"] += 1
+                    else:
+                        live.append(j)
+                batch = live
             groups: dict = {}
             for j in batch:
                 groups.setdefault((j.model, j.rgba.shape), []).append(j)
-            for group in groups.values():
-                self._process_group(group)
+            t0 = time.monotonic()
+            self._dispatch_started = t0
+            try:
+                for group in groups.values():
+                    self._process_group(group)
+            finally:
+                self._dispatch_started = None
+            if batch:
+                per_job = (time.monotonic() - t0) / len(batch)
+                prev = self._ewma_job_s
+                self._ewma_job_s = (per_job if prev is None
+                                    else 0.7 * prev + 0.3 * per_job)
             with self.lock:
                 self.stats["rounds"] += 1
                 self.stats["max_batch_seen"] = max(
@@ -299,12 +411,29 @@ def build_handler(worker: DeviceWorker):
                 return
 
             job = _Job(model, rgba)
-            worker.submit(job)
+            try:
+                worker.submit(job)
+            except Rejected as rej:  # admission control: fast, honest
+                self.send_response(rej.code)
+                self.send_header("Retry-After",
+                                 str(max(1, int(rej.retry_after_s + 0.5))))
+                body = f"error: {rej}\n".encode()
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not job.done.wait(worker.job_timeout_s) or job.error is not None:
                 err = job.error or TimeoutError("device worker timeout")
-                # ValueError = bad request content (shape/format); anything
+                # ValueError = bad request content (shape/format);
+                # DeadlineExceeded = overload (503, retryable); anything
                 # else — including device/runtime OSErrors — is a server fault
-                code = 400 if isinstance(job.error, ValueError) else 500
+                if isinstance(job.error, ValueError):
+                    code = 400
+                elif isinstance(job.error, DeadlineExceeded):
+                    code = 503
+                else:
+                    code = 500
                 self._reply(
                     code,
                     f"error: {type(err).__name__}: {err}\n".encode(),
@@ -333,14 +462,16 @@ def make_server(slots: dict, host: str = "127.0.0.1", port: int = 0,
                 max_batch: int = 8, batch_wait_ms: float = 3.0,
                 bucket: int = 0, job_timeout_s: float = 600.0,
                 pallas_precision: str = "bf16", spatial_shard: int = 0,
-                max_body_bytes: int = 64 * 1024 * 1024):
+                max_body_bytes: int = 64 * 1024 * 1024,
+                deadline_s: float = 0.0, max_queue: int = 0):
     """Wire up (ThreadingHTTPServer, DeviceWorker); caller starts both."""
     worker = DeviceWorker(slots, use_pallas=use_pallas, scale=scale,
                           max_batch=max_batch, batch_wait_ms=batch_wait_ms,
                           bucket=bucket, job_timeout_s=job_timeout_s,
                           pallas_precision=pallas_precision,
                           spatial_shard=spatial_shard,
-                          max_body_bytes=max_body_bytes)
+                          max_body_bytes=max_body_bytes,
+                          deadline_s=deadline_s, max_queue=max_queue)
     server = ThreadingHTTPServer((host, port), build_handler(worker))
     return server, worker
 
@@ -379,6 +510,16 @@ def main(argv=None) -> int:
     p.add_argument("--job-timeout", type=float, default=600.0,
                    help="seconds a request waits for the device worker "
                         "(first-touch kernel compiles can take minutes)")
+    p.add_argument("--deadline", type=float, default=0.0, metavar="S",
+                   help="latency SLO: shed load with 503 + Retry-After "
+                        "when the estimated queue wait exceeds S "
+                        "seconds, and 503 any job whose queue wait "
+                        "crossed S before dispatch (0 = off; cold "
+                        "compiles never shed — the estimate needs one "
+                        "completed round)")
+    p.add_argument("--max-queue", type=int, default=0, metavar="N",
+                   help="reject (429) requests beyond N queued jobs "
+                        "(0 = unbounded)")
     args = p.parse_args(argv)
 
     slots = {}
@@ -402,7 +543,8 @@ def main(argv=None) -> int:
         job_timeout_s=args.job_timeout,
         pallas_precision=args.pallas_precision,
         spatial_shard=args.spatial_shard,
-        max_body_bytes=args.max_body_mb * 1024 * 1024)
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
+        deadline_s=args.deadline, max_queue=args.max_queue)
     worker.start()
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(POST /upscale[?model=NAME], GET /models /stats /healthz)")
