@@ -1,50 +1,91 @@
 #!/usr/bin/env python
-"""Post-wino5 stage budget for the FLAGSHIP 9-5-5 frame (ROADMAP (a)).
+"""Per-stage budget for the fused parity-chain frame (skip-set marginals).
 
-The round-3 verdict's weak #1 asked for a flagship stage budget at the
-wino_ab standard of evidence; the wino5 chain then moved the frame
-272 → 432 MPix/s, and the residual (~4.6 ms vs the ~2.0 ms charged-MXU
-floor) was never budgeted. This probe measures, with the marginal
-(two-scan-length) methodology and interleaved rounds, the wino5 chain's
-per-stage costs by skip-set subtraction:
+``--config flagship`` (default): the SRCNN 9-5-5 1080p wino5 chain
+(plane l1 → f=5 quad → f'=3 exit) — ROADMAP (a), built round 4.
+``--config rgb``: the 7-layer waifu2x chain (plane-l1 quad-256 store →
+k=32 quad dots → k=64 j-paired → k=128 unpaired Winograd → parity mm
+exit) — VERDICT r4 missing #1: the RGB frame's last full per-layer
+split predates the quad/j-paired/xt chain; at ~12.2 ms it sits ~3.5 ms
+above its useful-FLOP floor and this probe names which stage holds it.
 
-  full        the shipping wino5 chain (plane l1 → f=5 quad → f'=3 exit)
-  -l1_store   l1 dots kept, the quad-256 parity store replaced
+Measures, with the marginal (two-scan-length) methodology and
+interleaved rounds, per-stage costs by skip-set subtraction:
+
+  full        the shipping chain
+  -l1_store   l1 dots kept, the parity store replaced
   -l1         plane first layer skipped outright
-  -mid        the f=5 quad-direct conv2 skipped
+  -mid        ALL f>1 middle layers skipped
+  -L{i}       exactly kernel layer i skipped (rgb: L1..L5 per middle)
   -last       the parity mm exit skipped
   last_dot    exit Z dot replaced with an input-dependent fill
   last_comb   exit dy' combine + out store skipped
+  last_extr   exit combine kept, extraction + stores skipped
   -dma        the double-buffered window copies skipped
   empty       all of the above (grid walk + XLA ends)
 
 full − variant = that stage's marginal (an upper bound on its exclusive
 cost: skipping a stage also removes whatever overlap Mosaic found for
 it). Cross-compile subtraction carries ±0.3-1 ms of mud — sanity-check
-stage claims against the FLOP floor (conv2 charged-quad ≈ 1.55 ms at
-bf16 peak; l1 ≈ 0.18; exit N-underfilled ≈ 0.26) and re-measure any
-candidate win with a same-program interleaved A/B before believing it.
+stage claims against the useful-FLOP floors the tool prints (direct
+conv MACs at bf16 peak — NOT the formulation's charged passes, which
+for zero-padded layouts like the f=5 quad count structural zeros as
+work; state both when documenting) and re-measure any candidate win
+with a same-program interleaved A/B before believing it.
 
 Run serialized:
 
     JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache python tools/flagship_stages.py
+    JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache python tools/flagship_stages.py --config rgb
 """
 
 from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# bf16 MXU peak for the floor print (v5e ≈ 197 TFLOP/s)
+PEAK_TFLOPS = 197.0
+
+
+def _floor_table(params, h, w):
+    """Useful-FLOP floor per layer: direct-conv MACs at bf16 peak.
+    This is the formulation-independent lower bound — a Winograd
+    formulation can beat it (fewer MACs), a zero-padded quad layout
+    charges more; both comparisons belong in docs next to the
+    measured marginals."""
+    shrink = 0
+    rows = []
+    total = 0.0
+    for i, l in enumerate(params):
+        f, _, k, n = l["w"].shape
+        shrink += f - 1
+        oh, ow = h - shrink, w - shrink
+        flops = 2.0 * oh * ow * f * f * k * n
+        ms = flops / (PEAK_TFLOPS * 1e12) * 1e3
+        total += ms
+        rows.append((i, f, k, n, flops, ms))
+    print("useful-FLOP floors (direct-conv MACs @ bf16 peak "
+          f"{PEAK_TFLOPS:.0f} TFLOP/s):")
+    for i, f, k, n, flops, ms in rows:
+        print(f"  L{i}: f={f} {k:4d}->{n:<4d} {flops / 1e9:7.2f} GFLOP "
+              f"= {ms:6.3f} ms")
+    print(f"  total: {total:.3f} ms/frame\n")
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=("flagship", "rgb"),
+                   default="flagship")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--iters", type=int, default=12,
                    help="long scan length (short = iters//3; min 2 — "
@@ -64,15 +105,26 @@ def main(argv=None) -> int:
     from jax import lax
 
     from cnn_sr_tpu.ops import pallas_fused
+    from cnn_sr_tpu.utils.config import parse_config
     from cnn_sr_tpu.utils.params_io import random_parameters
-    from __graft_entry__ import _flagship
 
-    cfg = _flagship()
+    if args.config == "rgb":
+        with open(os.path.join(ROOT, "configs",
+                               "waifu2x_7layer_rgb.json")) as fh:
+            cfg = parse_config(json.load(fh))
+        channels = 3
+    else:
+        from __graft_entry__ import _flagship
+
+        cfg = _flagship()
+        channels = 1
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
     x = jnp.asarray(np.random.default_rng(0).random(
-        (1, args.height, args.width, 1), np.float32) - 0.5)
+        (1, args.height, args.width, channels), np.float32) - 0.5)
+
+    _floor_table(pnp, args.height, args.width)
 
     def build(skip):
         pallas_fused.set_debug_skip(skip)
@@ -104,6 +156,11 @@ def main(argv=None) -> int:
         ("-dma", frozenset({"dma"})),
         ("empty", frozenset({"l1", "mid", "last", "dma"})),
     ]
+    if args.config == "rgb":
+        # per-middle-layer marginals: kernel layer index == model layer
+        # index with the plane first layer (L0 = l1, L6 = last)
+        VARIANTS[4:4] = [(f"-L{i}", frozenset({f"L{i}"}))
+                         for i in range(1, len(params) - 1)]
     if args.only:
         keep = set(args.only.split(",")) | {"full"}
         VARIANTS = [(n, s) for n, s in VARIANTS if n in keep]

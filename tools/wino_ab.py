@@ -8,7 +8,9 @@ hits both equally. ``--config rgb`` (default): the 7-layer RGB frame,
 ``wino=False`` (sep path) vs ``wino=True`` (F(2x2,3x3) parity chain).
 ``--config flagship``: SRCNN 9-5-5 1080p luma, the shipping packed-dx
 path vs ``wino5=True`` (f==5 quad-direct chain + f'=3 parity exit —
-VERDICT r4 #1).
+VERDICT r4 #1). ``--config 915``: SRCNN 9-1-5 luma, wino-only base vs
+the f=1 block-diag chain (``wino5=True`` arms it; VERDICT r4 weak #3's
+sweep config).
 
 Run serialized (never concurrently with another TPU process):
 
@@ -29,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--config", choices=("rgb", "flagship"),
+    p.add_argument("--config", choices=("rgb", "flagship", "915"),
                    default="rgb")
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--iters", type=int, default=12,
@@ -52,7 +54,7 @@ def main(argv=None) -> int:
                    help="max allowed |diff| (default per config: rgb "
                         "1e-6 — measured envelope 1.7e-8; flagship "
                         "1e-5 — the wino5 bf16-exit path's measured "
-                        "envelope is ~3e-6)")
+                        "envelope is ~3e-6; 915 1e-5)")
     args = p.parse_args(argv)
 
     import json
@@ -73,6 +75,19 @@ def main(argv=None) -> int:
             cfg = parse_config(json.load(fh))
         channels = 3
         ab = (("sep", dict(wino=False)), ("wino", dict(wino=True)))
+    elif args.config == "915":
+        # SRCNN 9-1-5 (matrix row 1) — the f=1 block-diag + plane
+        # quad-256 chain (VERDICT r4 weak #3: the thinnest on-chip
+        # robustness evidence of the three families; this config arms
+        # the randomized odd-shape sweep on the wino1 path)
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "srcnn_9-1-5.json")
+        with open(cfg_path) as fh:
+            cfg = parse_config(json.load(fh))
+        channels = 1
+        ab = (("base", dict(wino=True, wino5=False)),
+              ("wino1", dict(wino=True, wino5=True)))
     else:  # flagship 9-5-5 (n1=64, n2=32) luma — the driver's config
         from __graft_entry__ import _flagship
 
