@@ -197,7 +197,13 @@ def main():
     img = jnp.asarray(rng.integers(0, 256, (1080, 1920, 4), dtype=np.uint8))
     params915 = jparams(cfg)
     pipe915 = luma_pipeline(params915, True)
-    par = img_parity(pipe915, luma_pipeline(params915, False), img)
+    # row-1 gate pinned to the measured envelope (VERDICT r4 #4): the
+    # wino1 chain measures max 1 / mean 0.0 / 93.3 dB here, and the
+    # randomized odd-shape sweep (wino_ab --config 915 --sweep 6,
+    # 2026-08-21) measured worst f32 path-diff 5.9e-7 — so gate at
+    # max 1 / ≥80 dB instead of the generic ≤2 / ≥60 luma gate
+    par = img_parity(pipe915, luma_pipeline(params915, False), img,
+                     max_diff=1, mean_diff=0.01, min_psnr=80.0)
     dt = _chained_image_bench(pipe915, img)
     _emit("1_srcnn_9-1-5_1080p_inference", 1080 * 1920 / dt / 1e6, "MPix/s",
           parity=par)

@@ -54,7 +54,9 @@ def main(argv=None) -> int:
                    help="max allowed |diff| (default per config: rgb "
                         "1e-6 — measured envelope 1.7e-8; flagship "
                         "1e-5 — the wino5 bf16-exit path's measured "
-                        "envelope is ~3e-6; 915 1e-5)")
+                        "envelope is ~3e-6; 915 5e-6 — measured "
+                        "envelope 5.9e-7 over 6 odd shapes + 1080p, "
+                        "2026-08-21)")
     args = p.parse_args(argv)
 
     import json
@@ -100,7 +102,8 @@ def main(argv=None) -> int:
         ab = (("base", dict(wino=True, wino5=False)),
               ("wino5", dict(wino=True, wino5=True)))
     if args.sweep_tol is None:
-        args.sweep_tol = 1e-6 if args.config == "rgb" else 1e-5
+        args.sweep_tol = {"rgb": 1e-6, "flagship": 1e-5,
+                          "915": 5e-6}[args.config]
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
