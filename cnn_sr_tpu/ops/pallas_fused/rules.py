@@ -196,7 +196,17 @@ def _plane_rows(l1_rows: int, f1: int):
     rows. A block computing R rows reads taps t ∈ [r, r+f₁) for
     r < R, so S = 8·⌈(R+f₁−1)/8⌉ and the largest legal 8-multiple R
     for a given S is 8·⌊(S−f₁+1)/8⌋ (slab rows past the taps multiply
-    zero H rows). R=8/S=16 is the historical fixed geometry."""
+    zero H rows). R=8/S=16 is the historical fixed geometry; R=16/S=24
+    the shipping one.
+
+    ``l1_rows < 8`` opts into the EXACT tight geometry R=l1_rows,
+    S=R+f₁−1 with no 8-rounding (ROADMAP (a) / VERDICT r5 #2): at
+    f₁=9, R=6 gives S=14 and a main-dot K of c·f₁·S = 126 ≤ 128 — ONE
+    MXU K-block instead of two, halving the per-row main-dot charge.
+    The cost is sublane-UNALIGNED slab reads (r8 steps of 6) and more
+    roll traffic per row; measure before shipping (tools/l1_probe.py)."""
+    if 0 < l1_rows < 8:
+        return l1_rows, l1_rows + f1 - 1
     r = max(8, l1_rows // 8 * 8)
     s = -(-(r + f1 - 1) // 8) * 8
     return 8 * ((s - f1 + 1) // 8), s

@@ -341,6 +341,11 @@ def test_prepadded_build_skips_tail_pad():
     (44, 150, 8), (57, 131, 8),
     (44, 150, 16), (57, 131, 16),
     (57, 131, 24), (57, 131, 32),
+    # tight R=6/S=14 geometry (K = f1*S = 126 <= 128: one MXU K-block,
+    # halved main-dot charge — ROADMAP (a)); sublane-unaligned slab
+    # reads are exact in interpret mode, Mosaic lowering is probed on
+    # chip (tools/l1_probe.py)
+    (44, 150, 6), (57, 131, 6),
 ])
 def test_fused_plane_input_matches_xla(h, w, l1_rows):
     """Raw-plane first layer (in-kernel im2col via lane rolls + MXU
