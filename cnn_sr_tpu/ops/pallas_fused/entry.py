@@ -36,14 +36,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   prepack_max_deep: int = 384,
                   mm_last: bool | None = None,
                   sep_max_n: int | None = None,
-                  l1_rows: int = 16,
+                  l1_rows: int = 0,
                   pipe_combine: bool = True,
                   wino: bool | None = None,
                   wino5: bool | None = None,
                   wino_exit_noz: bool = False,
                   wino_exit_raw: bool = False,
                   wino_exit_xt: int = -1,
-                  wino_trg: int = 0):
+                  wino_trg: int = 0,
+                  wino_quad_group: int = 0):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
 
     ALL conv layers run in one Pallas kernel, streamed in ``dtype``
@@ -79,11 +80,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     (see ``_sep_layers``; None = auto = 128, 0 = off).
 
     ``l1_rows`` sets the plane first layer's block height R (output
-    rows per identity-dot transpose; see ``_plane_rows``). R=16 (S=24
-    slab at f₁ ≤ 9) halves transpose passes and cuts roll traffic 25%
-    at identical main-dot pass counts — measured a win on every
-    pairing: flagship 9.6-10.1 → 9.2-9.4 ms, RGB −0.1 ms (interleaved
-    A/B ×3, tools/variants_probe.py 2026-08-18).
+    rows per identity-dot transpose; see ``_plane_rows``). 0 = auto
+    (default): the largest EXACT R (S = R+f₁−1, no 8-rounding) whose
+    main-dot K = c·f₁·S fits ONE 128-deep MXU K-block — flagship
+    R=6/S=14 (K=126, vs R=16/S=24's two-block K=216), RGB R=12/S=14.
+    Halves the main-dot charge; measured 4/4 interleaved wins on both
+    shipping configs despite the sublane-unaligned slab reads
+    (tools/l1_probe.py 2026-08-21: flagship int8 −0.2..−0.5 ms, RGB
+    −0.3 ms; VERDICT r4 #2). Positive values pin the legacy 8-multiple
+    geometries (16 = the old default, measured 2026-08-18); negative
+    −R pins an exact geometry.
 
     ``wino`` routes eligible layers (f==3, k==128, consumer chain
     reaching an mm-eligible f==3 last layer with ≤16 outputs — see
@@ -205,6 +211,17 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # masked-reduction form (the oracle formulation the tests pin).
     if wino_exit_xt < 0:
         wino_exit_xt = 0 if interpret else 1
+    # quad tap-group size (see wino_kernel.wino_layer): K-concatenate
+    # this many taps per dot. The FULL concat measured −52% per chunk
+    # at the conv2 f=5 shape standalone (wino5_probe quad1 2.68 vs
+    # quad 5.60 us) but FLAT on the full flagship pipeline (5.30 vs
+    # 5.32 ms best, 4 interleaved rounds — Mosaic already overlaps the
+    # per-tap dots; the dypack/xpack lesson again) and the RGB kernel's
+    # f=3 concat fails Mosaic lowering (sublane-offset mismatch on the
+    # lane concat). Auto = 1 (per-tap dots); the knob remains for
+    # probing. docs/BENCHMARKS.md 2026-08-21.
+    if wino_quad_group <= 0:
+        wino_quad_group = 1
     if wino_exit_raw or wino_exit_noz:
         # the raw/noz A/B exits keep their own store layouts (raw: one
         # 3D lane-packed out ref) that the xt path's 4-index parity
@@ -230,6 +247,16 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # DMA's sublane (H) offset is i·tile_h and packed int8 tiles need
     # 32-row alignment (the patch path's sublane offset was j·tile_w,
     # always 128-aligned, so this constraint is new here)
+    if l1_rows == 0:
+        # auto (VERDICT r4 #2): the largest EXACT R whose slab keeps
+        # the main-dot K = c·f₁·(R+f₁−1) inside ONE 128-deep MXU
+        # K-block (flagship 9-5-5: R=6/S=14, K=126; RGB f₁=3/c=3:
+        # R=12/S=14, K=126) — measured 4/4 interleaved wins on both
+        # (tools/l1_probe.py 2026-08-21). Capped at 16 (the measured
+        # R≥24 sweep said taller blocks stop paying) and falling back
+        # to the legacy R=16/S=24 when no R ≥ 4 fits the block.
+        r_tight = 128 // (c1 * f1) - f1 + 1
+        l1_rows = -min(r_tight, 16) if r_tight >= 4 else 16
     if plane_input and f1 <= 9 and (not use_int8 or tile_h % 32 == 0):
         # raw-plane first layer: no patch array at all — the kernel DMAs
         # the (C, H, W) image plane (kilobyte windows vs the ~300 MB
@@ -344,7 +371,8 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            pipe_combine=pipe_combine, wino_on=wino,
                            wino5_on=wino5, exit_noz=wino_exit_noz,
                            exit_raw=wino_exit_raw,
-                           exit_xt=wino_exit_xt, wino_trg=wino_trg)
+                           exit_xt=wino_exit_xt, wino_trg=wino_trg,
+                           wino_qgrp=wino_quad_group)
         for i in range(x.shape[0])
     ]
     return jnp.stack(outs)

@@ -32,7 +32,8 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
                      "pipe_combine", "wino_on", "wino5_on",
-                     "exit_noz", "exit_raw", "exit_xt", "wino_trg"),
+                     "exit_noz", "exit_raw", "exit_xt", "wino_trg",
+                     "wino_qgrp"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -49,7 +50,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        exit_noz: bool = False,
                        exit_raw: bool = False,
                        exit_xt: int = 0,
-                       wino_trg: int = 0):
+                       wino_trg: int = 0,
+                       wino_qgrp: int = 1):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
     (H−s, W−s) float32 (stacked by the caller).
 
@@ -403,8 +405,8 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     cons_quad=(not last_cons)
                     and _wino_quad(fs[li + 1], ks[li + 1]),
                     act_dt=act_dt, dtype=dtype,
-                    trg=(wino_trg if wino_trg > 0
-                         and _wino_quad(f, k) else 6))
+                    trg=(wino_trg if wino_trg > 0 else 6),
+                    quad_group=wino_qgrp)
                 continue
 
             if wino_mm and li == n_layers - 1:

@@ -199,14 +199,23 @@ def _plane_rows(l1_rows: int, f1: int):
     zero H rows). R=8/S=16 is the historical fixed geometry; R=16/S=24
     the shipping one.
 
-    ``l1_rows < 8`` opts into the EXACT tight geometry R=l1_rows,
-    S=R+f₁−1 with no 8-rounding (ROADMAP (a) / VERDICT r5 #2): at
-    f₁=9, R=6 gives S=14 and a main-dot K of c·f₁·S = 126 ≤ 128 — ONE
-    MXU K-block instead of two, halving the per-row main-dot charge.
-    The cost is sublane-UNALIGNED slab reads (r8 steps of 6) and more
-    roll traffic per row; measure before shipping (tools/l1_probe.py)."""
+    ``l1_rows < 8`` (or any NEGATIVE value −R) opts into the EXACT
+    tight geometry R, S=R+f₁−1 with no 8-rounding (ROADMAP (a) /
+    VERDICT r4 #2): at f₁=9/c=1, R=6 gives S=14 and a main-dot K of
+    c·f₁·S = 126 ≤ 128 — ONE MXU K-block instead of two, halving the
+    per-row main-dot charge. The cost is sublane-UNALIGNED slab reads
+    (r8 steps of R∤8) and more roll traffic per row; measured a 4/4
+    interleaved win on the flagship int8 config (tools/l1_probe.py,
+    2026-08-21). ``fused_forward`` resolves its auto default to the
+    largest such R when c·f₁·S fits one K-block (the negative spelling
+    lets exact R ≥ 8, e.g. the RGB stack's R=12/S=14, pass through
+    the 8-multiple legacy branch untouched)."""
+    if l1_rows < 0:
+        return -l1_rows, -l1_rows + f1 - 1
     if 0 < l1_rows < 8:
         return l1_rows, l1_rows + f1 - 1
+    if l1_rows == 0:
+        l1_rows = 16  # entry resolves auto before this; safe fallback
     r = max(8, l1_rows // 8 * 8)
     s = -(-(r + f1 - 1) // 8) * 8
     return 8 * ((s - f1 + 1) // 8), s

@@ -24,7 +24,7 @@ from .rules import _WINO_AT, _WINO_BT, _WINO_TRG
 
 def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
                last_cons, cons_quad, exit_fp, act_dt, dtype,
-               trg=_WINO_TRG):
+               trg=_WINO_TRG, quad_group=1):
     """One parity-domain middle layer (Winograd family at f==3, direct
     QUAD dots at f==5).
 
@@ -100,25 +100,36 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
         # the all-phase form's 24 (−25%).
         t_g = (f + 1) // 2
         k4 = 4 * k
+        # ``quad_group``: taps K-CONCATENATED in groups of this size —
+        # one (M, g·4k) dot per group instead of g accumulate dots.
+        # The full 9-tap concat measured −52% per chunk at the conv2
+        # shape (tools/wino5_probe.py quad1 2.68 vs quad 5.60 us,
+        # 2026-08-21): fewer, larger dots schedule better on Mosaic at
+        # identical MXU pass counts.
+        taps = [(ro, co) for ro in range(t_g) for co in range(t_g)]
+        grp = max(1, quad_group)
         for t0 in range(0, tr_l, trg):
             rows = min(trg, tr_l - t0)
             mrow = rows * tc_l
             s_all = None
-            for ro in range(t_g):
-                for co in range(t_g):
-                    r_op = src[
-                        t0 + ro : t0 + ro + rows,
-                        co : co + tc_l, 0:k4,
-                    ].reshape(mrow, k4)
-                    mdot = jax.lax.dot_general(
-                        r_op.astype(dtype),
-                        w_ref[(ro * t_g + co) * k4
-                              : (ro * t_g + co + 1) * k4],
-                        dimension_numbers=(((1,), (0,)),
-                                           ((), ())),
-                        preferred_element_type=jnp.float32)
-                    s_all = (mdot if s_all is None
-                             else s_all + mdot)
+            for g0 in range(0, len(taps), grp):
+                gtaps = taps[g0 : g0 + grp]
+                ops = [
+                    src[t0 + ro : t0 + ro + rows,
+                        co : co + tc_l, 0:k4]
+                    .reshape(mrow, k4).astype(dtype)
+                    for ro, co in gtaps
+                ]
+                r_op = (ops[0] if len(ops) == 1
+                        else jnp.concatenate(ops, axis=1))
+                mdot = jax.lax.dot_general(
+                    r_op,
+                    w_ref[g0 * k4 : (g0 + len(gtaps)) * k4],
+                    dimension_numbers=(((1,), (0,)),
+                                       ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_all = (mdot if s_all is None
+                         else s_all + mdot)
             emit_ys([s_all[:, pq * n : (pq + 1) * n]
                      for pq in range(4)], t0, rows)
         return
@@ -136,8 +147,8 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
         # weights), and the row combine is the usual AᵀMA
         # accumulation over pa. Full MXU K-fill — the
         # probe's k=64 loss was pure K-underfill.
-        for t0 in range(0, tr_l, _WINO_TRG):
-            rows = min(_WINO_TRG, tr_l - t0)
+        for t0 in range(0, tr_l, trg):
+            rows = min(trg, tr_l - t0)
             mrow = rows * tc_l
 
             def tpair(i_p, jp, *, t0=t0, rows=rows, mrow=mrow):
@@ -181,8 +192,15 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
         return
 
     # ---- unpaired k==128 path: 16 position dots ----
-    for t0 in range(0, tr_l, _WINO_TRG):
-        rows = min(_WINO_TRG, tr_l - t0)
+    # AᵀMA accumulation is FACTORED per pa: zq[q] = Σ_pb AT[q,pb]·M_pb
+    # first (4 f32 adds), then ys[2p+q] += AT[p,pa]·zq[q] (Σ nz_pa·2 =
+    # 12 adds over the 4 pa) — 28 full-width accumulate adds per group
+    # vs the direct form's 36 (the per-(pos, pq) coefficient walk).
+    # Same coefficients, same f32 precision, fewer VPU passes; the RGB
+    # budget pinned this branch (L5) at ~3x its wino-charged floor
+    # with the in-register transform the named cause.
+    for t0 in range(0, tr_l, trg):
+        rows = min(trg, tr_l - t0)
         ys = [None] * 4
         for pa in range(4):
             i1, i2 = [i for i in range(4)
@@ -194,6 +212,7 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
                 d1 = d1 if _WINO_BT[pa][i1] > 0 else -d1
                 rs.append(d1 + d2 if _WINO_BT[pa][i2] > 0
                           else d1 - d2)
+            zq = [None, None]
             for pb in range(4):
                 j1, j2 = [j for j in range(4)
                           if _WINO_BT[pb][j] != 0]
@@ -208,13 +227,21 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
                     dimension_numbers=(((1,), (0,)),
                                        ((), ())),
                     preferred_element_type=jnp.float32)
-                for pq in range(4):
-                    c = (_WINO_AT[pq // 2][pa]
-                         * _WINO_AT[pq % 2][pb])
+                for q in range(2):
+                    c = _WINO_AT[q][pb]
                     if c != 0:
                         t = mdot if c > 0 else -mdot
-                        ys[pq] = (t if ys[pq] is None
-                                  else ys[pq] + t)
+                        zq[q] = (t if zq[q] is None
+                                 else zq[q] + t)
+            for p in range(2):
+                c = _WINO_AT[p][pa]
+                if c == 0:
+                    continue
+                for q in range(2):
+                    t = zq[q] if c > 0 else -zq[q]
+                    pq = 2 * p + q
+                    ys[pq] = (t if ys[pq] is None
+                              else ys[pq] + t)
         emit_ys(ys, t0, rows)
 
 

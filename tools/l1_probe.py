@@ -34,30 +34,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--config", choices=("flagship", "rgb"),
+                   default="flagship")
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--no-int8", action="store_true")
-    p.add_argument("--rows", type=str, default="16,6",
-                   help="comma-separated l1_rows variants")
+    p.add_argument("--rows", type=str, default=None,
+                   help="comma-separated l1_rows variants (negative = "
+                        "exact tight geometry; default per config: "
+                        "flagship 16,-6; rgb 16,-12)")
     p.add_argument("--parity", action="store_true")
     args = p.parse_args(argv)
+
+    import json
 
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from cnn_sr_tpu.ops import pallas_fused
+    from cnn_sr_tpu.utils.config import parse_config
     from cnn_sr_tpu.utils.params_io import random_parameters
-    from __graft_entry__ import _flagship
 
-    cfg = _flagship()
+    if args.config == "rgb":
+        with open(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "configs", "waifu2x_7layer_rgb.json")) as fh:
+            cfg = parse_config(json.load(fh))
+        channels = 3
+        if args.rows is None:
+            args.rows = "16,-12"
+    else:
+        from __graft_entry__ import _flagship
+
+        cfg = _flagship()
+        channels = 1
+        if args.rows is None:
+            args.rows = "16,-6"
     pnp = random_parameters(cfg.layer_specs(), cfg.distributions, seed=0)
     params = [{"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
               for l in pnp]
     x = jnp.asarray(np.random.default_rng(0).random(
-        (1, args.height, args.width, 1), np.float32) - 0.5)
+        (1, args.height, args.width, channels), np.float32) - 0.5)
 
     def make(rows):
         @functools.partial(jax.jit, static_argnames=("n",))

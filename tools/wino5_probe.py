@@ -201,14 +201,21 @@ def main(argv=None) -> int:
                             0:TCP, 2 * rp * K : 2 * (rp + 1) * K]
                         tap = tap if c == 1.0 else tap * c
                         v = tap if v is None else v + tap
-                    op = jnp.concatenate(
-                        [v[:, co : co + TC, :] for co in range(TG)],
-                        axis=2).reshape(mrow, TG * 2 * K).astype(dt)
-                    mdot = jax.lax.dot_general(
-                        op, w_ref[a * TG * 2 * K
-                                  : (a + 1) * TG * 2 * K],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    # Mosaic cannot lane-concat slices at different
+                    # sublane offsets ("offset mismatch on non-concat
+                    # dim"),
+                    # so the (M, 6K) operand splits into 3 K-slice
+                    # dots — identical MXU pass count (3x1 K-blocks)
+                    mdot = None
+                    for co in range(TG):
+                        op = (v[:, co : co + TC, :]
+                              .reshape(mrow, 2 * K).astype(dt))
+                        d = jax.lax.dot_general(
+                            op, w_ref[(a * TG + co) * 2 * K
+                                      : (a * TG + co + 1) * 2 * K],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        mdot = d if mdot is None else mdot + d
                     for pz in range(2):
                         c = float(AT25[pz, a])
                         if c == 0.0:
@@ -260,15 +267,12 @@ def main(argv=None) -> int:
     if args.check:
         # oracle: reconstruct the full-res block from the quad image,
         # direct-conv it, re-split into parity planes
-        full = np.zeros((2 * (TR + 2), 2 * (TCP)), np.float32)
         fullk = np.zeros((2 * (TR + 2), 2 * TCP, K), np.float32)
         for rp in range(2):
             for cp in range(2):
                 fullk[rp::2, cp::2] = a_np[:, :, (2 * rp + cp) * K
                                            : (2 * rp + cp + 1) * K]
         want = np.zeros((2, 2, TR, TC, N), np.float32)
-        acc = np.einsum("abc,dxcn->abdxn",
-                        np.zeros((1, 1, 1)), np.zeros((1, 1, 1, 1, 1)))
         out_full = np.zeros((2 * TR, 2 * TC, N), np.float32)
         for dy in range(F):
             for dx in range(F):
