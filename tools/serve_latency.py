@@ -53,6 +53,24 @@ def _png_bytes(rng, h, w):
     return buf.getvalue()
 
 
+def _post_status(url, body):
+    """Returns (seconds, http_status). 503/429 (SLO shedding) return
+    fast with the rejection status instead of raising."""
+    import urllib.error
+
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "image/png"})
+    t0 = time.perf_counter()
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            resp.read()
+        return time.perf_counter() - t0, 200
+    except urllib.error.HTTPError as e:
+        if e.code in (429, 503):
+            return time.perf_counter() - t0, e.code
+        raise
+
+
 def _post(url, body):
     req = urllib.request.Request(
         url, data=body, headers={"Content-Type": "image/png"})
@@ -85,6 +103,13 @@ def main(argv=None) -> int:
                         "compile-per-group-size latency tail under "
                         "concurrency: each distinct batch size "
                         "otherwise pays one ~10-60 s kernel compile)")
+    p.add_argument("--deadline", type=float, default=0.0, metavar="S",
+                   help="run the concurrent tables with the server's "
+                        "latency SLO on (serve.py --deadline): 503/429 "
+                        "rejections are counted as shed, percentiles "
+                        "cover SERVED requests (VERDICT r4 #5 — p99 "
+                        "reflects policy, not tunnel luck)")
+    p.add_argument("--max-queue", type=int, default=0)
     args = p.parse_args(argv)
 
     from tools.serve import load_slot, make_server
@@ -98,7 +123,9 @@ def main(argv=None) -> int:
             seed=0),
     }
     server, worker = make_server(slots, use_pallas=not args.no_pallas,
-                             bucket=args.bucket)
+                                 bucket=args.bucket,
+                                 deadline_s=args.deadline,
+                                 max_queue=args.max_queue)
     worker.start()
     st = threading.Thread(target=server.serve_forever, daemon=True)
     st.start()
@@ -127,14 +154,20 @@ def main(argv=None) -> int:
 
             # concurrent clients through the batching queue
             all_ts: list = []
+            shed = [0]
             lock = threading.Lock()
 
             def client():
-                mine = []
+                mine, my_shed = [], 0
                 for _ in range(args.n_per_client):
-                    mine.append(_post(url, body))
+                    dt, status = _post_status(url, body)
+                    if status == 200:
+                        mine.append(dt)
+                    else:
+                        my_shed += 1
                 with lock:
                     all_ts.extend(mine)
+                    shed[0] += my_shed
 
             t0 = time.perf_counter()
             threads = [threading.Thread(target=client)
@@ -148,11 +181,18 @@ def main(argv=None) -> int:
             row = {"metric": f"serving_latency_{name}_concurrent"
                              f"{args.clients}"
                              + (f"_bucket{args.bucket}" if args.bucket
-                                else ""),
+                                else "")
+                             + (f"_deadline{args.deadline:g}"
+                                if args.deadline else ""),
                    **_percentiles(all_ts),
                    "req_per_s": round(n_req / wall, 1),
                    "note": f"{args.clients} clients back-to-back; "
                            "batching-queue regime"}
+            if args.deadline:
+                row["shed"] = shed[0]
+                row["shed_rate"] = round(shed[0] / n_req, 3)
+                row["note"] += ("; percentiles over SERVED requests, "
+                                "503/429 shed counted separately")
             print(json.dumps(row), flush=True)
     finally:
         server.shutdown()
