@@ -25,6 +25,12 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REL_TOL = 0.015
+# The headline's source (newest BENCH_r*.json) is re-measured by the
+# driver each round and the tunnel swings sessions ±10% (documented
+# degradation windows); the staleness this checker exists to catch was
+# 17% (round 4's README). So the headline row gets a wider band while
+# matrix-sourced rows stay tight.
+HEADLINE_TOL = 0.12
 
 
 def _sources() -> dict:
@@ -83,7 +89,8 @@ def main() -> int:
                   f"(source {want:g})")
             continue
         cited = float(matches[-1].group(1))
-        ok = abs(cited - want) <= REL_TOL * abs(want)
+        tol = HEADLINE_TOL if key == "headline" else REL_TOL
+        ok = abs(cited - want) <= tol * abs(want)
         status = "ok" if ok else "FAIL"
         if not ok:
             failures.append((fname, label, cited, want))
