@@ -20,7 +20,10 @@ from __future__ import annotations
 # (prepack) stores with a one-element max-store; "mid_dot" skips the
 # all-phase matmul (note: gated with `not in`, the dot is the default);
 # "mid_combine" skips phase combine AND output store; "mid_store" keeps
-# the combine but replaces the store with a one-element max-store;
+# the combine but replaces the store with a one-element max-store (on
+# wino-chain layers this covers the possibly dx'-packed parity store;
+# "L{li}_store" does the same for exactly kernel layer li — how the
+# L5 exit-prepack store was pinned at 0.89 ms, docs/BENCHMARKS.md);
 # "last_extract" (parity exit only) keeps the dy' Z accumulation but
 # skips the per-(channel, parity) extraction + out stores.
 # Per-layer keys "L{li}" (li = 0-based index into the KERNEL's layer

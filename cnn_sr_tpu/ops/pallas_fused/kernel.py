@@ -406,7 +406,11 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     and _wino_quad(fs[li + 1], ks[li + 1]),
                     act_dt=act_dt, dtype=dtype,
                     trg=(wino_trg if wino_trg > 0 else 6),
-                    quad_group=wino_qgrp)
+                    quad_group=wino_qgrp,
+                    skip=(frozenset({"mid_store"})
+                          if ("mid_store" in skip
+                              or f"L{li}_store" in skip)
+                          else frozenset()))
                 continue
 
             if wino_mm and li == n_layers - 1:

@@ -24,7 +24,7 @@ from .rules import _WINO_AT, _WINO_BT, _WINO_TRG
 
 def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
                last_cons, cons_quad, exit_fp, act_dt, dtype,
-               trg=_WINO_TRG, quad_group=1):
+               trg=_WINO_TRG, quad_group=1, skip=frozenset()):
     """One parity-domain middle layer (Winograd family at f==3, direct
     QUAD dots at f==5).
 
@@ -54,6 +54,14 @@ def wino_layer(src, w_ref, b_ref, act_ref, *, f, k, n, tr_l, tc_l,
             val = jnp.maximum(
                 ys[pq].reshape(rows, tc_l, n) + b_ref[...],
                 0.0).astype(act_dt)
+            if "mid_store" in skip:  # triage-only: keep the dots and
+                # combine, replace the (possibly dx'-packed) store
+                # with a one-element max-store — isolates the wino
+                # store/prepack traffic by subtraction
+                act_ref[(0,) * (len(act_ref.shape) - 1)
+                        + (slice(0, 1),)] = jnp.max(
+                    val.astype(jnp.float32)).reshape(1).astype(act_dt)
+                continue
             if last_cons:
                 # dx'-packed parity image for the mm exit:
                 # lane dx'·4n + (2p+q)·n + j, exit_fp col-shifted

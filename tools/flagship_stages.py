@@ -158,8 +158,12 @@ def main(argv=None) -> int:
     ]
     if args.config == "rgb":
         # per-middle-layer marginals: kernel layer index == model layer
-        # index with the plane first layer (L0 = l1, L6 = last)
+        # index with the plane first layer (L0 = l1, L6 = last); the
+        # _store twins keep a layer's dots/combine and skip only its
+        # (possibly dx'-packed) store
         VARIANTS[4:4] = [(f"-L{i}", frozenset({f"L{i}"}))
+                         for i in range(1, len(params) - 1)]
+        VARIANTS[9:9] = [(f"-L{i}s", frozenset({f"L{i}_store"}))
                          for i in range(1, len(params) - 1)]
     if args.only:
         keep = set(args.only.split(",")) | {"full"}
