@@ -113,7 +113,21 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     # lane-padded widths); deep stacks halve the chunk to fit — their
     # Z/patch scratch count scales with the f>1 layer count
     if tile_h <= 0:
-        tile_h = 64
+        # deep bf16 WINO-chain stacks prefer taller tiles since the
+        # R=12 tight l1 landed: 128 measured −0.44 ms on the RGB frame
+        # (11.28 vs 11.72, 2/2 interleaved rounds, variants_probe
+        # 2026-08-21) while the 3-layer flagship prefers 64 (5.30 vs
+        # 5.73) — the deep stack amortizes per-tile edge work over
+        # more rows, the shallow one loses VMEM locality. The SEP path
+        # (wino=False) keeps 64: its per-layer patch scratch scales
+        # with tile_h and 128 fails the scoped-VMEM budget (measured —
+        # the wino chain's half-res parity buffers are what make 128
+        # fit). f32 deep stacks keep 64 likewise (they already halve
+        # tile_w for headroom).
+        wino_eff = (wino if wino is not None
+                    else jax.default_backend() != "cpu")
+        tile_h = 128 if (len(params) > 4 and wino_eff
+                         and dtype != jnp.float32) else 64
     if tile_w <= 0:
         # deep stacks in full f32 double every window/act/patch buffer:
         # 64×256 ran the chip out of total VMEM (132.3/128 MB measured);
