@@ -43,6 +43,7 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                   wino_exit_noz: bool = False,
                   wino_exit_raw: bool = False,
                   wino_exit_xt: int = -1,
+                  wino_exit_up: int = -1,
                   wino_trg: int = 0,
                   wino_quad_group: int = 0):
     """Fused multi-layer forward: (N, H, W, C) → (N, H−s, W−s, n_out).
@@ -105,6 +106,12 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
     masked lane extraction with an MXU transpose-extract (1 = HIGHEST
     f32 selection dot, 2 = Mosaic swapaxes, 3 = hi/lo bf16 split dots
     — see ``wino_kernel._xt_extract``; −1 = auto).
+    ``wino_exit_up`` stores the exit producer's output as the plain
+    quad image ONCE (instead of fp dx'-shifted lane copies — the RGB
+    L5_store 0.89 ms/frame marginal) and moves the dx' structure into
+    the exit's fp K-slice dots at col offsets — identical MXU pass
+    count, 1/fp the producer store traffic (see ``wino_mm_exit`` ``up``;
+    −1 = auto).
     """
     from ...models import forward as _xla_forward
 
@@ -241,6 +248,12 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # 3D lane-packed out ref) that the xt path's 4-index parity
         # stores would corrupt — the variant knobs win over the auto xt
         wino_exit_xt = 0
+    # un-packed exit (see wino_mm_exit ``up``): −1 = auto = OFF until
+    # the interleaved on-chip A/B lands (the dypack/xpack rule: land
+    # off-by-default, measure first). Requires the Z-based exit.
+    if wino_exit_up < 0:
+        wino_exit_up = 0
+    wino_exit_up = int(bool(wino_exit_up)) if not wino_exit_noz else 0
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)
     sep_prep_fold = frozenset(li - 1 for li in sep_fold)
@@ -385,7 +398,9 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
                            pipe_combine=pipe_combine, wino_on=wino,
                            wino5_on=wino5, exit_noz=wino_exit_noz,
                            exit_raw=wino_exit_raw,
-                           exit_xt=wino_exit_xt, wino_trg=wino_trg,
+                           exit_xt=wino_exit_xt,
+                           exit_up=bool(wino_exit_up),
+                           wino_trg=wino_trg,
                            wino_qgrp=wino_quad_group)
         for i in range(x.shape[0])
     ]

@@ -32,8 +32,8 @@ from .wino_kernel import parity_entry_store, wino_layer, wino_mm_exit
                      "out_hw", "l1_plane", "l1_f", "l1_rows",
                      "prepack_max_deep", "mm_last", "sep_max_n",
                      "pipe_combine", "wino_on", "wino5_on",
-                     "exit_noz", "exit_raw", "exit_xt", "wino_trg",
-                     "wino_qgrp"),
+                     "exit_noz", "exit_raw", "exit_xt", "exit_up",
+                     "wino_trg", "wino_qgrp"),
 )
 def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        interpret: bool = False, dtype=jnp.bfloat16,
@@ -50,6 +50,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                        exit_noz: bool = False,
                        exit_raw: bool = False,
                        exit_xt: int = 0,
+                       exit_up: bool = False,
                        wino_trg: int = 0,
                        wino_qgrp: int = 1):
     """Run layers 2..L over a (H, W, k) activation → n_out planes of
@@ -240,6 +241,10 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
     # parity-exit last layer
     wino_mm = bool(wino)
     fp_ex = (fs[-1] + 1) // 2  # exit half-res phases (2 at f=3, 3 at f=5)
+    # un-packed exit (``wino_exit_up``): the producer stores the plain
+    # quad image once and the exit's K-slice dots read the dx' shifts
+    # — needs the Z-based exit (noz keeps the packed read layout)
+    exit_up = bool(exit_up) and wino_mm and not exit_noz
     # activations feeding MXU layers stream in `dtype` (their consumers
     # cast patches to `dtype` anyway — identical values, half the VMEM);
     # the last layer's input stays f32 for the VPU tap accumulation —
@@ -397,13 +402,20 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                 # ``wino_kernel.wino_layer``.
                 if "mid" in skip:
                     continue  # triage
-                last_cons = wino_mm and li == n_layers - 2
+                feeds_exit = wino_mm and li == n_layers - 2
+                last_cons = feeds_exit and not exit_up
+                if feeds_exit and exit_up:
+                    # un-packed exit: the plain quad store must cover
+                    # the exit ref's full width (incl. the dx' halo) —
+                    # the same geometry bound the packed store asserts
+                    assert act_refs[li].shape[1] <= _wino_tc(ws, li)
                 wino_layer(
                     src, w_ref, b_ref, act_refs[li], f=f, k=k, n=n,
                     tr_l=oh // 2, tc_l=_wino_tc(ws, li),
                     last_cons=last_cons, exit_fp=fp_ex,
-                    cons_quad=(not last_cons)
-                    and _wino_quad(fs[li + 1], ks[li + 1]),
+                    cons_quad=(feeds_exit and exit_up)
+                    or ((not feeds_exit)
+                        and _wino_quad(fs[li + 1], ks[li + 1])),
                     act_dt=act_dt, dtype=dtype,
                     trg=(wino_trg if wino_trg > 0 else 6),
                     quad_group=wino_qgrp,
@@ -423,7 +435,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
                     None if exit_noz else z_refs[pz_idx[li]],
                     out_refs, k=k, n=n, fp=fp_ex, trh=hs[li] // 2,
                     ohh=tile_h // 2, ch=ch, tile_w=tile_w, skip=skip,
-                    noz=exit_noz, raw=exit_raw, xt=exit_xt)
+                    noz=exit_noz, raw=exit_raw, xt=exit_xt, up=exit_up)
                 continue
 
             if plane and li == 0:
@@ -713,7 +725,7 @@ def _fused_tail_single(wbs, a, dims, tile_h: int, tile_w: int,
         act_dts=act_dts, wino=wino, wino_mm=wino_mm, prepack=prepack,
         pack_last=pack_last, fp_ex=fp_ex, pz_idx=pz_idx, pp_idx=pp_idx,
         ps_idx=ps_idx, pipe_z=pipe_z, chunk_rows=chunk_rows,
-        dtype=dtype)
+        dtype=dtype, exit_up=exit_up)
 
     out = pl.pallas_call(
         kernel,

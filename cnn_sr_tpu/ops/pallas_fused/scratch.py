@@ -17,7 +17,7 @@ def build_scratch_shapes(*, plane, c_in, win_hp, win_wp, win_h, win_w,
                          c_pad, win_dt, n_layers, fs, ks, ns, hs, ws,
                          act_dts, wino, wino_mm, prepack, pack_last,
                          fp_ex, pz_idx, pp_idx, ps_idx, pipe_z,
-                         chunk_rows, dtype):
+                         chunk_rows, dtype, exit_up=False):
     scratch_shapes = [
         # double-buffered windows: raw (C, H, W) planes in plane mode
         # (kilobytes), lane-padded patch windows otherwise
@@ -45,10 +45,15 @@ def build_scratch_shapes(*, plane, c_in, win_hp, win_wp, win_h, win_w,
                       _wino_w_in(ws, li + 1), 2 * ns[li]))
         elif li in wino:
             # wino output feeding the mm exit: dx'-packed parity image
-            # at half resolution (fp_ex copies of 4·n lanes)
-            shape = (hs[li + 1] // 2,
-                     -(-(ws[li + 2] // 2) // 8) * 8,
-                     fp_ex * 4 * ns[li])
+            # at half resolution (fp_ex copies of 4·n lanes) — or, for
+            # the UN-PACKED exit (``exit_up``), the plain rank-3 quad
+            # image widened by the fp_ex − 1 col-shift halo the exit's
+            # K-slice dots read (one copy, 1/fp_ex the store traffic)
+            wz = -(-(ws[li + 2] // 2) // 8) * 8
+            shape = ((hs[li + 1] // 2,
+                      -(-(wz + fp_ex - 1) // 8) * 8, 4 * ns[li])
+                     if exit_up else
+                     (hs[li + 1] // 2, wz, fp_ex * 4 * ns[li]))
         elif li + 1 in prepack:
             shape = (hs[li + 1], ws[li + 2], fs[li + 1] * ns[li])
         else:

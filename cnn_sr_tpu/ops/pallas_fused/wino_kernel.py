@@ -348,7 +348,7 @@ def _xt_extract(accb, tw2, xt):
 
 def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
                  ohh, ch, tile_w, skip=frozenset(), noz=False,
-                 raw=False, xt=0):
+                 raw=False, xt=0, up=False):
     """Parity-domain all-phase exit (wino_mm last layer).
 
     ``src``: (H/2, W/2, fp·4k) dx'-packed parity image; ``w_ref`` the
@@ -360,8 +360,21 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
     transpose recombines in the wrapper. Linear (no ReLU): reference
     layer L, ConfigBasedDataPipeline.cpp:66. ``trh`` = input half-res
     rows, ``ohh`` = tile_h // 2 output half-rows, ``ch`` = chunk rows.
+
+    ``up`` (UN-PACKED exit, ``wino_exit_up``): ``src`` is the plain
+    rank-3 QUAD image (H/2, W/2 + fp − 1, 4k) — the producer stores ONE
+    copy (the same plain quad store L4 pays, measured free) instead of
+    the fp dx'-shifted lane copies (measured 0.89 ms/frame on RGB L5 —
+    the ``L5_store`` skip-key marginal, docs/BENCHMARKS.md 2026-08-21).
+    The dx' structure moves into the CONSUMER's reads: Z accumulates fp
+    K-slice dots (M, 4k) @ w_ref[dxp·4k:(dxp+1)·4k] with the operand
+    col-shifted by dxp — the _wino_mm_weights K layout is dx'-major, so
+    the SAME packed weight serves both forms, and the total K-block
+    pass count is identical (fp · 4k/128 == (fp·4k)/128). The shifted
+    sublane reads are the quad tap-sweep pattern the f==5 branch
+    already ships.
     """
-    w2 = src.shape[1]
+    w2 = z_ref.shape[1] if up else src.shape[1]
     m4 = 4 * n
     kf = fp * 4 * k
     lane = None
@@ -400,12 +413,28 @@ def wino_mm_exit(src, w_ref, b_ref, z_ref, out_refs, *, k, n, fp, trh,
                     out_refs[cc][pq // 2, pq % 2, c0:ce, :] = (
                         v[:, 0 : tile_w // 2])
         return
+    assert not (up and noz), "wino_exit_up requires the Z-based exit"
     for c0 in range(0, trh, ch):
         ce = min(c0 + ch, trh)
         if "last_dot" in skip:  # triage-only: input-dependent Z fill
             z_ref[c0:ce] = jnp.broadcast_to(
                 src[c0:c0 + 1, 0:1, 0:1].astype(z_ref.dtype)
                 .reshape(1, 1, 1), (ce - c0, w2, fp * m4))
+            continue
+        if up:
+            # un-packed exit: fp accumulated K-slice dots, operand
+            # col-shifted by dx' (see the docstring)
+            acc = None
+            for dxp in range(fp):
+                mdot = jnp.dot(
+                    src[c0:ce, dxp : dxp + w2, 0 : 4 * k]
+                    .reshape((ce - c0) * w2, 4 * k),
+                    w_ref[dxp * 4 * k : (dxp + 1) * 4 * k],
+                    preferred_element_type=jnp.float32,
+                )
+                acc = mdot if acc is None else acc + mdot
+            z_ref[c0:ce] = acc.reshape(
+                ce - c0, w2, fp * m4).astype(z_ref.dtype)
             continue
         z_ref[c0:ce] = jnp.dot(
             src[c0:ce, 0:w2, 0:kf]

@@ -375,6 +375,28 @@ def test_exit_xt_matches_default():
 
 
 
+def test_exit_up_matches_default():
+    """The UN-PACKED exit (``wino_exit_up``: plain quad producer store
+    + fp K-slice dots at col offsets in the exit) is f32-exact against
+    the packed default on the f==5 (fp=3), f==3 (fp=2) and 9-1-5
+    chains incl. odd geometry, and composes with the xt combine."""
+    rng = np.random.default_rng(43)
+    for spec, ch in (([(9, 1, 32), (5, 32, 8), (5, 8, 1)], 1),
+                     ([(3, 2, 16), (3, 16, 128), (3, 128, 128),
+                       (3, 128, 2)], 2),
+                     ([(9, 1, 32), (1, 32, 16), (5, 16, 1)], 1)):
+        p = _params(rng, spec)
+        x = jnp.asarray(
+            rng.standard_normal((1, 43, 141, ch)).astype(np.float32) * 0.4)
+        y_ref = np.asarray(forward(p, x))
+        for xt in (0, 1):
+            y = np.asarray(fused_forward(
+                p, x, tile_h=16, tile_w=128, dtype=jnp.float32,
+                wino=True, wino5=True, wino_exit_up=1, wino_exit_xt=xt))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{spec} up xt={xt}")
+
+
 def test_wino1_915_chain():
     """The f==1 parity extension: a 1×1 middle (9-1-5's conv2) joins
     the chain as ONE block-diagonal quad dot, so the f==5 last layer
