@@ -248,11 +248,15 @@ def fused_forward(params, x, tile_h: int = 0, tile_w: int = 0,
         # 3D lane-packed out ref) that the xt path's 4-index parity
         # stores would corrupt — the variant knobs win over the auto xt
         wino_exit_xt = 0
-    # un-packed exit (see wino_mm_exit ``up``): −1 = auto = OFF until
-    # the interleaved on-chip A/B lands (the dypack/xpack rule: land
-    # off-by-default, measure first). Requires the Z-based exit.
+    # un-packed exit (see wino_mm_exit ``up``): −1 = auto = ON for
+    # compiled TPU runs after measured interleaved wins on ALL THREE
+    # chains (tools/variants_probe.py full-pipeline, 2026-08-22:
+    # RGB 11.25-11.28 → 10.84-11.03 ms 4/4 rounds; flagship 5.31-5.33
+    # → 4.86-4.89 4/4; 9-1-5 best 3.31 → 2.90, 3/4 with one tunnel-
+    # window outlier). Interpret keeps the packed form (the oracle
+    # formulation the tests pin). Requires the Z-based exit.
     if wino_exit_up < 0:
-        wino_exit_up = 0
+        wino_exit_up = 0 if interpret else 1
     wino_exit_up = int(bool(wino_exit_up)) if not wino_exit_noz else 0
     sep_fold = _sep_layers(((1, f1 * f1 * c1, n1),) + tail_dims,
                            len(params), prepack_max_deep, sep_max_n)

@@ -35,7 +35,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("variants", nargs="+",
                    help="name=json-kwargs for fused_forward")
-    p.add_argument("--config", choices=("flagship", "rgb"), default="rgb")
+    p.add_argument("--config", choices=("flagship", "rgb", "915"),
+                   default="rgb")
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--rounds", type=int, default=3)
     args = p.parse_args(argv)
@@ -44,6 +45,9 @@ def main(argv=None) -> int:
     if args.config == "rgb":
         cfg = parse_config(json.load(open(
             os.path.join(here, "configs", "waifu2x_7layer_rgb.json"))))
+    elif args.config == "915":
+        cfg = parse_config(json.load(open(
+            os.path.join(here, "configs", "srcnn_9-1-5.json"))))
     else:
         sys.path.insert(0, here)
         from __graft_entry__ import _flagship
