@@ -88,7 +88,12 @@ def main() -> int:
             print(f"FAIL  {fname}: {label} — pattern not found "
                   f"(source {want:g})")
             continue
-        cited = float(matches[-1].group(1))
+        # FIRST match: COVERAGE/README keep newest-round sections on
+        # top, so the first occurrence is the current claim and later
+        # ones are historical round records (which legitimately cite
+        # older headlines — taking the last match flagged round-4
+        # history against the round-5 artifact)
+        cited = float(matches[0].group(1))
         tol = HEADLINE_TOL if key == "headline" else REL_TOL
         ok = abs(cited - want) <= tol * abs(want)
         status = "ok" if ok else "FAIL"
